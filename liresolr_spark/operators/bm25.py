@@ -1,0 +1,201 @@
+"""BM25 scoring — the DataFrame-native path.
+
+Semantics: Lucene 4.10 BM25 as configured by the reference
+(ref: SimilarRequestHandler.java:98 `new BM25Similarity()`, defaults
+k1=1.2, b=0.75), over an OR-of-terms query (ref: createQuery
+LireRequestHandler.java:576-592 builds SHOULD TermQuery per token;
+disjunction score = sum of per-term contributions).
+
+  idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  score(d,q)  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+Deviation from Lucene (documented): exact doc lengths, not 8-bit-quantized
+norms — our rank-identity target is the pytest/DuckDB oracle sharing this
+spec (SURVEY §7 milestone 3).
+
+Plan shape (the reference's retrieval "join", SURVEY J1/A1):
+  postings ⋈ broadcast(query_terms) on term   [broadcast hash join]
+  -> groupBy(docID).agg(sum(score))            [partial + final hash agg]
+  -> orderBy(score desc, docID asc).limit(k)   [TakeOrderedAndProject =
+       bounded per-partition heap + driver merge, the TreeSet analog of
+       LireRequestHandler.java:479-490 with a total-order tie-break]
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from liresolr_spark import BM25_B, BM25_K1
+from liresolr_spark.functions.tokenizer import tokenize_expr
+
+
+def idf_lucene(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _query_terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
+    """Distinct query terms with their query-side multiplicity (qtf).
+
+    Lucene's BooleanQuery scores a repeated SHOULD term once per occurrence;
+    we keep qtf explicit so repeated query tokens boost like the reference's
+    visual-word queries (ref: SimilarRequestHandler.java:148 QueryParser over
+    repeated visual words)."""
+    from collections import Counter
+
+    c = Counter(terms)
+    return spark.createDataFrame(
+        [(t, int(n)) for t, n in c.items()], "term string, qtf int"
+    )
+
+
+def bm25_score_corpus(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 60,
+    doc_id_col: str = "docID",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    fq=None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Index-free BM25 top-k straight off a corpus DataFrame.
+
+    Everything is built-in expressions: tokenize -> explode -> tf ->
+    broadcast-join query terms -> sum BM25 -> top-k. Used for oracle-checked
+    correctness queries and as the semantics spec for the index paths.
+
+    fq: optional Column predicate restricting the CANDIDATE set (ref: filter
+    queries LireRequestHandler.java:539-550; note the reference builds but
+    fails to apply them — we apply, as Solr semantics intend). Index-level
+    statistics (N, avgdl, df) stay global, exactly like Lucene: fq narrows
+    matches, it does not re-weight terms.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(doc_id_col).alias("docID"),
+        *(keep_cols or []),
+        tokenize_expr(F.col(text_col)).alias("tokens"),
+    ).withColumn("doclen", F.size("tokens"))
+
+    stats = toks.agg(
+        F.count("*").alias("N"), F.avg("doclen").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+
+    posting = toks.select(
+        "docID", "doclen", *(keep_cols or []), F.explode("tokens").alias("term")
+    )
+    qdf = _query_terms_df(spark, query_terms)
+    candidates = posting if fq is None else posting.filter(fq)
+    tf = (
+        candidates.join(broadcast(qdf), "term")
+        .groupBy("docID", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.first("doclen").alias("doclen"),
+            F.first("qtf").alias("qtf"),
+            *[F.first(c).alias(c) for c in (keep_cols or [])],
+        )
+    )
+    dfreq = (
+        posting.join(broadcast(qdf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("docID").alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(broadcast(dfreq), "term")
+        .withColumn(
+            "term_score",
+            F.col("qtf") * idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
+        )
+        .groupBy("docID")
+        .agg(
+            F.sum("term_score").alias("score"),
+            *[F.first(c).alias(c) for c in (keep_cols or [])],
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 60,
+    field: str = "text",
+) -> DataFrame:
+    """BM25 top-k over the persisted block index, DataFrame path.
+
+    Blocks for the query terms are pruned at scan time (parquet row-group
+    stats on `term`, SURVEY O6 analog of Lucene term-dictionary seeks),
+    decoded vectorized in mapInPandas, then scored exactly like
+    `bm25_score_corpus`. Scales: no driver-side posting materialization.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from liresolr_spark.functions.codec import decode_block
+    from liresolr_spark.plans.build import read_meta
+
+    meta = read_meta(index_dir)
+    qdf = _query_terms_df(spark, query_terms)
+    terms = [r["term"] for r in qdf.collect()]
+    qtf = {r["term"]: r["qtf"] for r in qdf.collect()}
+
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dstats = (
+        dictionary.filter((F.col("field") == field) & F.col("term").isin(terms))
+        .select("term", "df").collect()
+    )
+    idf = {
+        r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]] for r in dstats
+    }
+    if not idf:
+        return spark.createDataFrame([], "docID long, score double")
+    b_idf = spark.sparkContext.broadcast(idf)
+
+    blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
+        (F.col("field") == field) & F.col("term").isin(list(idf))
+    )
+    k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+
+    def score_blocks(batches):
+        for pdf in batches:
+            outs = []
+            for term, d_bytes, t_bytes in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
+                ids, tfs = decode_block(bytes(d_bytes), bytes(t_bytes))
+                tfs = tfs.astype(np.float64)
+                # dl reconstructed via docstats join below would add a shuffle;
+                # instead blocks carry tf only, so join doclen afterwards.
+                outs.append(pd.DataFrame({
+                    "docID": ids.astype(np.int64),
+                    "term": term,
+                    "tf": tfs,
+                    "w": b_idf.value[term],
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"docID": pd.Series(dtype="int64"), "term": pd.Series(dtype="str"),
+                 "tf": pd.Series(dtype="float64"), "w": pd.Series(dtype="float64")})
+
+    flat = blocks.mapInPandas(
+        score_blocks, schema="docID long, term string, tf double, w double"
+    )
+    doclens = spark.read.parquet(f"{index_dir}/docstats").select("docID", "doclen")
+    scored = (
+        flat.join(doclens, "docID")
+        .withColumn(
+            "term_score",
+            F.col("w") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
+        )
+        .groupBy("docID")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -1,0 +1,146 @@
+"""Distributed block-max WAND top-k BM25 over the compressed block index.
+
+Execution model = the Solr sharded collection (ref: AddImages.java:46
+`media_shard1_replica1`): the query fans out to every docID-range shard,
+each shard runs a block-max top-k kernel locally over its own posting
+blocks, and the per-shard top-k's merge to a global top-k — exactly how a
+SolrCloud query distributes LireRequestHandler's candidate search
+(ref: LireRequestHandler.java:458) across shards.
+
+Within a shard the kernel exploits ALIGNED blocks (block_seq = docID //
+block_size for every term, see plans/build._block_builder):
+
+  1. upper bound per docID range r:  UB(r) = sum_t idf_t * max_tf_norm(t, r)
+  2. visit ranges in DESCENDING UB order, maintaining the running top-k
+     threshold theta (k-th best exact score);
+  3. stop as soon as UB(next) <= theta — no remaining range can beat the
+     heap. Ranges never visited are never decoded (the WAND saving).
+  4. visited ranges are scored exactly & vectorized: decode delta+varint,
+     accumulate sum_t idf_t * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) via
+     np.bincount on shard-local docIDs.
+
+This is a SAFE optimization: results are exactly the exhaustive top-k
+(property-tested in tests/test_wand.py), unlike the reference's lossy
+candidate cap of 20000 (LireRequestHandler.java:59).
+
+Spark plan: blocks are partition-pruned to the query's terms (parquet
+row-group stats on `term`), cogrouped per shard with docstats (doclen),
+kernel runs as applyInPandas — one Arrow batch per shard, no driver-side
+posting materialization, no shuffle of raw postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from liresolr_spark.functions.codec import decode_block
+from liresolr_spark.operators.bm25 import _query_terms_df, idf_lucene
+from liresolr_spark.plans.build import read_meta
+
+
+def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
+                  block_size: int):
+    """Returns the cogrouped applyInPandas kernel: (blocks, doclens) -> topk."""
+
+    def kernel(blocks: pd.DataFrame, doclens: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0 or len(doclens) == 0:
+            return pd.DataFrame({"docID": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        # shard-local dense doclen lookup
+        dl_ids = doclens["docID"].values.astype(np.int64)
+        base = int(dl_ids.min())
+        dl = np.zeros(int(dl_ids.max()) - base + 1, dtype=np.float64)
+        dl[dl_ids - base] = doclens["doclen"].values.astype(np.float64)
+
+        terms = blocks["term"].values
+        seqs = blocks["block_seq"].values.astype(np.int64)
+        w = np.array([idf[t] for t in terms], dtype=np.float64)
+        ub_contrib = w * blocks["max_tf_norm"].values.astype(np.float64)
+
+        # UB per aligned range
+        uniq_seq, inv = np.unique(seqs, return_inverse=True)
+        ub = np.bincount(inv, weights=ub_contrib)
+        visit_order = np.argsort(-ub, kind="stable")
+
+        top_ids = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+
+        docid_col = blocks["docids"].values
+        tf_col = blocks["tfs"].values
+
+        for ri in visit_order:
+            if len(top_ids) >= k and ub[ri] <= theta:
+                break  # no remaining range can beat the k-th score
+            members = np.nonzero(inv == ri)[0]
+            ids_all, sc_all = [], []
+            for m in members:
+                ids, tfs = decode_block(bytes(docid_col[m]), bytes(tf_col[m]))
+                ids = ids.astype(np.int64)
+                tf_f = tfs.astype(np.float64)
+                dls = dl[ids - base]
+                sc = w[m] * tf_f * (k1 + 1.0) / (
+                    tf_f + k1 * (1.0 - b + b * dls / avgdl))
+                ids_all.append(ids)
+                sc_all.append(sc)
+            ids_cat = np.concatenate(ids_all)
+            sc_cat = np.concatenate(sc_all)
+            # accumulate per docID within the range (range is small: <= block_size docs)
+            lo = ids_cat.min()
+            acc = np.bincount(ids_cat - lo, weights=sc_cat)
+            nz = np.nonzero(acc)[0]
+            new_ids = nz + lo
+            new_scores = acc[nz]
+            # merge into running top-k with total order (score desc, docID asc)
+            top_ids = np.concatenate([top_ids, new_ids])
+            top_scores = np.concatenate([top_scores, new_scores])
+            order = np.lexsort((top_ids, -top_scores))[:k]
+            top_ids, top_scores = top_ids[order], top_scores[order]
+            if len(top_ids) >= k:
+                theta = top_scores[-1]
+
+        return pd.DataFrame({"docID": top_ids, "score": top_scores})
+
+    return kernel
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 60,
+    field: str = "text",
+) -> DataFrame:
+    """Block-max WAND top-k: returns DataFrame(docID, score), globally exact."""
+    meta = read_meta(index_dir)
+    qrows = _query_terms_df(spark, query_terms).collect()
+    qtf = {r["term"]: r["qtf"] for r in qrows}
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dstats = (
+        dictionary.filter((F.col("field") == field) & F.col("term").isin(list(qtf)))
+        .select("term", "df").collect()
+    )
+    idf = {r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]]
+           for r in dstats}
+    if not idf:
+        return spark.createDataFrame([], "docID long, score double")
+
+    # partition pruning on shard dirs is automatic; row-group stats prune term
+    blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
+        (F.col("field") == field) & F.col("term").isin(list(idf))
+    ).select("shard", "term", "block_seq", "docids", "tfs", "max_tf_norm")
+    doclens = spark.read.parquet(f"{index_dir}/docstats").select(
+        "shard", "docID", "doclen")
+
+    kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl, meta.block_size)
+    per_shard = (
+        blocks.groupBy("shard")
+        .cogroup(doclens.groupBy("shard"))
+        .applyInPandas(lambda bl, dl: kernel(bl, dl),
+                       schema="docID long, score double")
+    )
+    # global merge: bounded heap per partition + driver merge (TakeOrderedAndProject)
+    return per_shard.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -1,0 +1,306 @@
+"""Index build plan: corpus -> sharded, block-compressed inverted index.
+
+Pipeline (the Spark-first re-expression of ParallelSolrIndexer's
+producer/consumer/XML/Solr pipeline, ref: ParallelSolrIndexer.java:124-182,
+266-305,338-493):
+
+  corpus (repo,path,commit,lang,content)
+    -> dropDuplicates(natural key)           # Solr overwrite=true semantics
+                                             # (ref: scripts/add_histograms.py:40)
+    -> assign_doc_ids                        # deterministic global rank
+    -> docstats  (docID, keys, doclen, sha256(content))  [per-row invariant]
+    -> tokenize (built-in exprs) -> explode
+       BOTH token families in ONE postings table, like cl_ha..su_ha coexist
+       in one Lucene index (ref: README.md:144-160): field='text' lexical
+       terms, field='ha' liresolr-style hex hash tokens
+    -> tf = groupBy(field,term,docID).count()     # ref: Lucene tf at index time
+    -> shard = docID // docs_per_shard       # document-sharded layout =
+                                             # Solr collection shards
+                                             # (ref: AddImages.java:46)
+    -> groupBy(shard,field,term) applyInPandas -> delta-gap+varint blocks of
+       <=block_size docs with per-block max_tf_norm (block-max WAND bound)
+    -> parquet partitioned by shard, sorted by (field,term) for row-group
+       stat pruning
+    + dictionary(field,term,df), meta.json (N, avgdl, versions), manifest
+      (per-shard lineage: docs_indexed, bytes_written, status) + metrics.
+
+Skew: hot terms ('import', 'return') appear in EVERY shard, so their
+posting-list build is split across shards by construction — the grouping key
+(shard, field, term) is never hot. This is the explicit salting strategy:
+salt = docID-range shard, chosen so salted runs stay docID-sorted and never
+need re-merging (SURVEY §7.4.2).
+
+Resumability: shards are processed in WAVES; after each wave its manifest
+rows (status='done', docs_indexed, bytes_written, term range) are committed.
+A restarted build reads the manifest, anti-joins completed shards out of the
+work set, and appends only the missing shard partitions (north_rule lineage
+requirement). docID assignment is deterministic, so a resumed build is
+bit-identical to an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from liresolr_spark import BM25_B, BM25_K1, HASH_VERSION
+from liresolr_spark.functions.codec import encode_block
+from liresolr_spark.functions.tokenizer import hash_tokens_expr, tokenize_expr
+from liresolr_spark.sources.corpus import assign_doc_ids
+
+BLOCK_SCHEMA = (
+    "shard int, field string, term string, block_seq int, count int, "
+    "first_docid long, last_docid long, docids binary, tfs binary, "
+    "max_tf_norm double"
+)
+
+NATURAL_KEY = ["repo", "path", "commit"]
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    num_shards: int
+    docs_per_shard: int
+    block_size: int
+    hash_version: int
+    k1: float
+    b: float
+
+
+def _paths(index_dir: str) -> dict:
+    return {
+        "docstats": os.path.join(index_dir, "docstats"),
+        "blocks": os.path.join(index_dir, "blocks"),
+        "dictionary": os.path.join(index_dir, "dictionary"),
+        "manifest": os.path.join(index_dir, "manifest"),
+        "meta": os.path.join(index_dir, "meta.json"),
+        "metrics": os.path.join(index_dir, "metrics.json"),
+    }
+
+
+def read_meta(index_dir: str) -> IndexMeta:
+    with open(_paths(index_dir)["meta"]) as f:
+        return IndexMeta(**json.load(f))
+
+
+def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
+    """applyInPandas kernel: one (shard, field, term) group -> encoded blocks.
+
+    Blocks are ALIGNED docID ranges: block_seq = docID // block_size, so the
+    same block_seq covers the same docID interval for every term. Alignment
+    lets the WAND operator sum per-term block maxima into an exact upper
+    bound per docID range and skip whole ranges without decoding — the
+    block-max WAND structure (cf. Lucene's BlockMax codecs; reference's
+    two-phase cap analog at LireRequestHandler.java:59,458).
+
+    Vectorized: sort by docID, np.unique on the range key, numpy codec.
+    Per-posting BM25 tf-norm tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) maxed per
+    block = the upper bound (idf is applied at query time).
+    """
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard, field, term = key
+        order = np.argsort(pdf["docID"].values, kind="stable")
+        doc_ids = pdf["docID"].values[order].astype(np.uint64)
+        tfs = pdf["tf"].values[order].astype(np.uint64)
+        dls = pdf["doclen"].values[order].astype(np.float64)
+        tf_f = tfs.astype(np.float64)
+        norm = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
+        range_key = (doc_ids // np.uint64(block_size)).astype(np.int64)
+        uniq, starts = np.unique(range_key, return_index=True)
+        bounds = np.append(starts, len(doc_ids))
+        rows = []
+        for i, rk in enumerate(uniq):
+            s, e = bounds[i], bounds[i + 1]
+            d_bytes, t_bytes = encode_block(doc_ids[s:e], tfs[s:e])
+            rows.append(
+                (
+                    int(shard), field, term, int(rk), int(e - s),
+                    int(doc_ids[s]), int(doc_ids[e - 1]),
+                    d_bytes, t_bytes, float(norm[s:e].max()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["shard", "field", "term", "block_seq", "count",
+                     "first_docid", "last_docid", "docids", "tfs", "max_tf_norm"],
+        )
+
+    return build
+
+
+def exploded_terms(docs: DataFrame, with_hash_tokens: bool) -> DataFrame:
+    """docs(docID, shard, doclen, tokens) -> (docID, shard, doclen, field, term).
+
+    Emits the lexical family and (optionally) the liresolr hash-token family
+    in one pass, all with built-in expressions (no Python)."""
+    if with_hash_tokens:
+        tok = docs.withColumn("ha", hash_tokens_expr(F.col("tokens")))
+        return tok.select(
+            "docID", "shard", "doclen",
+            F.explode(
+                F.concat(
+                    F.transform("tokens", lambda t: F.struct(
+                        F.lit("text").alias("field"), t.alias("term"))),
+                    F.transform("ha", lambda t: F.struct(
+                        F.lit("ha").alias("field"), t.alias("term"))),
+                )
+            ).alias("ft"),
+        ).select("docID", "shard", "doclen",
+                 F.col("ft.field").alias("field"),
+                 F.col("ft.term").alias("term"))
+    return docs.select(
+        "docID", "shard", "doclen",
+        F.lit("text").alias("field"),
+        F.explode("tokens").alias("term"),
+    )
+
+
+def build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    num_shards: int = 32,
+    block_size: int = 128,
+    resume: bool = True,
+    with_hash_tokens: bool = True,
+    shard_waves: int = 1,
+    max_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the index. Returns the per-stage metrics dict.
+
+    shard_waves > 1 commits lineage incrementally (resume granularity);
+    max_waves (tests only) stops early to simulate a killed build.
+    """
+    spark = corpus.sparkSession
+    p = _paths(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    metrics: dict = {"stages": {}, "hash_version": HASH_VERSION}
+    t_all = time.time()
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.time()
+
+            def __exit__(self, *a):
+                metrics["stages"][name] = round(
+                    metrics["stages"].get(name, 0.0) + time.time() - self.t, 3)
+
+        return _T()
+
+    # ---- resume bookkeeping -------------------------------------------------
+    done_shards: set[int] = set()
+    if resume and os.path.exists(p["manifest"]):
+        man = spark.read.parquet(p["manifest"])
+        done_shards = {
+            int(r["shard"]) for r in man.filter(F.col("status") == "done").collect()
+        }
+    metrics["resumed_shards_skipped"] = len(done_shards)
+
+    # ---- docID assignment (deterministic global rank) -----------------------
+    with stage("assign_doc_ids"):
+        # Solr overwrite semantics, made deterministic: one winner per natural
+        # key, chosen by content order (ref overwrite=true is last-write-wins,
+        # which is racy in the reference's parallel indexer).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*NATURAL_KEY).orderBy("content")
+        docs = (corpus.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        docs = assign_doc_ids(docs, NATURAL_KEY)
+        docs = docs.withColumn("tokens", tokenize_expr(F.col("content")))
+        docs = docs.withColumn("doclen", F.size("tokens"))
+        docs.persist()
+        n_docs = docs.count()
+
+    docs_per_shard = max(1, -(-n_docs // num_shards))  # ceil
+    docs = docs.withColumn(
+        "shard", (F.col("docID") / F.lit(docs_per_shard)).cast("int")
+    )
+    avgdl = float(docs.agg(F.avg("doclen")).first()[0] or 0.0)
+
+    all_shards = list(range(num_shards))
+    todo = [s for s in all_shards if s not in done_shards]
+    waves = max(1, min(shard_waves, len(todo))) if todo else 0
+    wave_lists = [todo[i::waves] for i in range(waves)] if todo else []
+    if max_waves is not None:
+        wave_lists = wave_lists[:max_waves]
+
+    builder = _block_builder(block_size, BM25_K1, BM25_B, avgdl)
+
+    for wave_shards in wave_lists:
+        wave = docs.filter(F.col("shard").isin(wave_shards))
+
+        with stage("docstats"):
+            docstats = wave.select(
+                "docID", "shard", "repo", "path", "commit", "lang", "doclen",
+                F.sha2(F.col("content"), 256).alias("sha256"),
+            )
+            docstats.write.mode("append").partitionBy("shard").parquet(p["docstats"])
+
+        with stage("postings_tf"):
+            exploded = exploded_terms(wave, with_hash_tokens)
+            tf = exploded.groupBy("shard", "field", "term", "docID").agg(
+                F.count("*").alias("tf"), F.first("doclen").alias("doclen")
+            )
+
+        with stage("blocks"):
+            blocks = tf.groupBy("shard", "field", "term").applyInPandas(
+                builder, schema=BLOCK_SCHEMA
+            )
+            (blocks.sortWithinPartitions("field", "term", "block_seq")
+             .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
+
+        with stage("manifest"):
+            all_blocks = spark.read.parquet(p["blocks"]).filter(
+                F.col("shard").isin(wave_shards))
+            shard_stats = all_blocks.groupBy("shard").agg(
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                F.sum(F.length("docids") + F.length("tfs")).alias("bytes_written"),
+            )
+            shard_docs = (
+                spark.read.parquet(p["docstats"])
+                .filter(F.col("shard").isin(wave_shards))
+                .groupBy("shard").agg(F.count("*").alias("docs_indexed"))
+            )
+            manifest = shard_stats.join(shard_docs, "shard", "full").withColumn(
+                "status", F.lit("done"))
+            manifest.write.mode("append").parquet(p["manifest"])
+
+    finished = (max_waves is None) or (len(wave_lists) == waves)
+    if finished:
+        # ---- dictionary: df per (field, term) across ALL shards --------------
+        with stage("dictionary"):
+            all_blocks = spark.read.parquet(p["blocks"])
+            dictionary = all_blocks.groupBy("field", "term").agg(
+                F.sum("count").alias("df"),
+                F.max("max_tf_norm").alias("max_tf_norm"),
+            )
+            dictionary.write.mode("overwrite").parquet(p["dictionary"])
+
+        meta = IndexMeta(
+            n_docs=n_docs, avgdl=avgdl, num_shards=num_shards,
+            docs_per_shard=docs_per_shard, block_size=block_size,
+            hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
+        )
+        with open(p["meta"], "w") as f:
+            json.dump(asdict(meta), f)
+
+    docs.unpersist()
+    metrics["n_docs"] = n_docs
+    metrics["finished"] = finished
+    metrics["wall_sec"] = round(time.time() - t_all, 3)
+    metrics["files_per_sec"] = round(n_docs / max(metrics["wall_sec"], 1e-9), 2)
+    with open(p["metrics"], "w") as f:
+        json.dump(metrics, f)
+    return metrics

@@ -1,0 +1,164 @@
+"""Corpus source: the engine's input table + deterministic docID assignment.
+
+Input shape (mandated): (repo string, path string, commit string,
+lang string, content string). The reference's analog is the flat Solr
+document with `id` as primary key (ref: README.md:140,
+ParallelSolrIndexer.java:444-446); our natural key is (repo, path, commit)
+and `docID` is its dense global rank.
+
+`synthetic_code_corpus` generates the FIXTURES.md §1 table: deterministic,
+seed-derived, distributed (each row is a pure function of its row index —
+generated inside mapInPandas so no driver-side materialization), with
+deliberately skewed hot keywords (`import`, `return`, `def`, `public`)
+so hot-term handling is exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+_LANGS = ["python", "java", "scala", "go", "js"]
+_LANG_W = np.array([0.35, 0.25, 0.15, 0.15, 0.10])
+_EXT = {"python": "py", "java": "java", "scala": "scala", "go": "go", "js": "js"}
+_HOT = ["import", "return", "def", "public"]  # Zipf-hot keywords
+
+# ~2000-stem seeded vocabulary: camelCase and snake_case identifiers built
+# from stem pairs so camel-splitting is exercised.
+_STEMS = None
+
+
+def _vocab(seed: int = 42):
+    global _STEMS
+    if _STEMS is None:
+        rng = np.random.default_rng(seed)
+        syll = ["foo", "bar", "baz", "qux", "data", "node", "list", "tree", "hash",
+                "map", "key", "val", "index", "query", "parse", "read", "write",
+                "open", "close", "send", "recv", "pack", "sort", "merge", "scan",
+                "join", "find", "emit", "token", "block", "chunk", "file", "path",
+                "user", "time", "count", "batch", "row", "col", "str", "buf"]
+        stems = set()
+        while len(stems) < 2000:
+            a, b = rng.choice(syll), rng.choice(syll)
+            n = rng.integers(0, 100)
+            stems.add(f"{a}{b.capitalize()}" if n % 2 else f"{a}_{b}")
+            if n % 7 == 0:
+                c = rng.choice(syll)
+                stems.add(f"{a}{b.capitalize()}{c.capitalize()}")
+        _STEMS = sorted(stems)
+    return _STEMS
+
+
+def _gen_row(i: int, seed: int) -> tuple:
+    """Pure function of (row index, seed) -> one corpus row."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    repo = f"org{i % 7}/repo{i % 23}"
+    lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_W))]
+    d = int(rng.integers(0, 40))
+    name = f"mod{int(rng.integers(0, 997))}"
+    path = f"src/dir{d}/{name}.{_EXT[lang]}"
+    commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()
+    vocab = _vocab(seed)
+    n_lines = int(rng.integers(10, 401))
+    lines = []
+    for _ in range(n_lines):
+        n_words = int(rng.integers(2, 9))
+        words = []
+        for _ in range(n_words):
+            # Zipf-like hot keywords: ~25% of word slots are hot terms
+            if rng.random() < 0.25:
+                words.append(_HOT[int(rng.zipf(2.0)) % len(_HOT)])
+            else:
+                words.append(vocab[int(rng.integers(0, len(vocab)))])
+        lines.append(" ".join(words))
+    return repo, path, commit, lang, "\n".join(lines)
+
+
+def synthetic_code_corpus(spark: SparkSession, n_rows: int, seed: int = 42,
+                          partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed synthetic source-code corpus (FIXTURES.md §1)."""
+    partitions = partitions or max(8, n_rows // 2000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_gen_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    base = spark.range(0, n_rows, numPartitions=partitions)
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense docID = global rank by natural key, WITHOUT a
+    single-partition window (SURVEY §7.4.1: the scale-safe two-pass scheme).
+
+    1. repartitionByRange(keys) + sortWithinPartitions(keys): partitions are
+       contiguous ranges of the total order, each locally sorted.
+    2. Count rows per partition (one cheap job), compute cumulative offsets.
+    3. docID = offset[partition] + local row number (mapInPandas, zero-copy).
+
+    The result is independent of where range boundaries fall, so docIDs are
+    stable across runs and cluster sizes — required for rank-identity and
+    resumability. Ref analog: Lucene's internal docid assignment, consumed
+    at LireRequestHandler.java:225.
+    """
+    keys = keys or ["repo", "path", "commit"]
+    spark = df.sparkSession
+    num_partitions = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    part = df.repartitionByRange(int(num_partitions), *[F.col(k) for k in keys]) \
+             .sortWithinPartitions(*keys)
+    sizes = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").count().collect()
+    )
+    counts = {r["_pid"]: r["count"] for r in sizes}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(part.schema.fields + [StructField("docID", LongType(), False)])
+
+    def add_ids(pdf_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = b_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            pdf["docID"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_ids, schema=out_schema)
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted corpus (parquet; Iceberg in production — same columns)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,85 @@
+"""Codec round-trip units (SURVEY §5.2.1): varint, delta-gap, hex tokens.
+
+Generalizes the reference's only test category — payload round-trip decodes
+(ref: src/test/java/.../DecodingTest.java:16-34)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from liresolr_spark.functions.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    varint_decode,
+    varint_encode,
+)
+from liresolr_spark.functions.tokenizer import java_hex32, py_tokenize
+
+
+FIXED_VECTORS = [0, 1, 127, 128, 16383, 16384, 2**31 - 1, 2**63 - 1, 2**64 - 1]
+
+
+def test_varint_fixed_vectors():
+    for v in FIXED_VECTORS:
+        a = np.array([v], dtype=np.uint64)
+        assert varint_decode(varint_encode(a)).tolist() == [v]
+    a = np.array(FIXED_VECTORS, dtype=np.uint64)
+    assert varint_decode(varint_encode(a)).tolist() == FIXED_VECTORS
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_single_byte_values():
+    a = np.arange(128, dtype=np.uint64)
+    enc = varint_encode(a)
+    assert len(enc) == 128  # all one byte
+    assert np.array_equal(varint_decode(enc), a)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip_property(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(a)), a)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_block_roundtrip_property(ids):
+    doc_ids = np.array(sorted(ids), dtype=np.uint64)
+    tfs = (doc_ids % np.uint64(37)) + np.uint64(1)
+    d, t = encode_block(doc_ids, tfs)
+    ids2, tfs2 = decode_block(d, t)
+    assert np.array_equal(ids2, doc_ids)
+    assert np.array_equal(tfs2, tfs)
+
+
+def test_delta_adjacent_and_singleton():
+    for ids in ([5], [7, 8, 9], [0, 1], [10, 1000000000]):
+        a = np.array(ids, dtype=np.uint64)
+        assert np.array_equal(delta_decode(delta_encode(a)), a)
+
+
+def test_java_hex32_two_complement():
+    # Java Integer.toHexString semantics (ref: ParallelSolrIndexer.java:197-206)
+    assert java_hex32(-1) == "ffffffff"
+    assert java_hex32(-2147483648) == "80000000"
+    assert java_hex32(255) == "ff"
+    assert java_hex32(0) == "0"
+
+
+def test_tokenizer_goldens():
+    assert py_tokenize("parseHTTPResponse") == ["parse", "http", "response"]
+    assert py_tokenize("snake_case_id") == ["snake", "case", "id"]
+    assert py_tokenize("XMLHttpRequest v2Beta") == ["xml", "http", "request", "v2", "beta"]
+    assert py_tokenize("") == []
+    assert py_tokenize("   \n\t ") == []
+    # idempotence on already-split output
+    toks = py_tokenize("fooBar_bazQux")
+    assert py_tokenize(" ".join(toks)) == toks
