@@ -52,10 +52,9 @@ def _query_terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
     )
 
 
-def bm25_score_corpus(
+def bm25_scores_all(
     docs: DataFrame,
     query_terms: list[str],
-    k: int = 60,
     doc_id_col: str = "docID",
     text_col: str = "content",
     k1: float = BM25_K1,
@@ -121,6 +120,24 @@ def bm25_score_corpus(
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
     )
+    return scored
+
+
+def bm25_score_corpus(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 60,
+    doc_id_col: str = "docID",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    fq=None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k wrapper over `bm25_scores_all` with the engine's total order
+    (score desc, docID asc — the deterministic TreeSet analog)."""
+    scored = bm25_scores_all(docs, query_terms, doc_id_col, text_col, k1, b,
+                             fq, keep_cols)
     return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
 
