@@ -450,6 +450,411 @@ def r03(spark, sf_dir):
     )
 
 
+# ---- dedup operators (training-data pipeline, first-class) -----------------
+
+_SH3 = (
+    "[concat_ws(' ', l[i], l[i+1], l[i+2]) "
+    "for i in generate_series(1, greatest(len(l)-2, 0))]"
+)
+
+
+@_reg(
+    "d01_exact_dedup",
+    """
+SELECT md5(text) AS dup_key, count(*) AS n_docs, min(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+ORDER BY dup_key
+LIMIT 200
+""",
+)
+def d01(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    from liresolr_spark.ops.dedup import exact_duplicates
+
+    out = exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+    return out.orderBy("dup_key").limit(200)
+
+
+@_reg(
+    "d02_minhash_signatures",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SH3} AS sh
+  FROM (SELECT doc_id, {TOK} AS l FROM documents WHERE doc_id < 100)
+)
+SELECT doc_id AS id,
+       list_min([md5('0:' || s) for s in sh]) AS mh0,
+       list_min([md5('1:' || s) for s in sh]) AS mh1,
+       list_min([md5('2:' || s) for s in sh]) AS mh2,
+       list_min([md5('3:' || s) for s in sh]) AS mh3
+FROM sh ORDER BY id
+""",
+)
+def d02(spark, sf_dir):
+    """MinHash signatures (shingle -> minhash), cross-engine md5 ordering."""
+    from liresolr_spark.ops.dedup import minhash_signatures
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=4).orderBy("id")
+
+
+@_reg(
+    "d03_minhash_lsh_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SH3} AS sh
+  FROM (SELECT doc_id, {TOK} AS l FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         list_min([md5('0:' || s) for s in sh]) AS mh0,
+         list_min([md5('1:' || s) for s in sh]) AS mh1,
+         list_min([md5('2:' || s) for s in sh]) AS mh2,
+         list_min([md5('3:' || s) for s in sh]) AS mh3
+  FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS key FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def d03(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band buckets -> equi-join, no cross join."""
+    from liresolr_spark.ops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=4, bands=2
+    ).orderBy("id_a", "id_b")
+
+
+@_reg(
+    "d04_simhash",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS t FROM documents WHERE doc_id < 200
+),
+h AS (SELECT doc_id, md5(t) AS h FROM tok),
+bitpos AS (
+  SELECT doc_id, h, unnest(generate_series(1, 16)) AS j FROM h
+),
+votes AS (
+  SELECT doc_id, j,
+         CASE WHEN substr(h, j, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS v
+  FROM bitpos
+),
+bitsums AS (SELECT doc_id, j, sum(v) AS s FROM votes GROUP BY doc_id, j)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, 16 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsums GROUP BY doc_id ORDER BY id
+""",
+)
+def d04(spark, sf_dir):
+    """SimHash fingerprint (16-bit) per document."""
+    from liresolr_spark.ops.dedup import simhash
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return simhash(docs, "doc_id", "text", bits=16).orderBy("id")
+
+
+@_reg(
+    "d05_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct({_SH3})) AS s
+  FROM (SELECT doc_id, source, {TOK} AS l FROM documents WHERE doc_id < 150)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, common,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.0
+ORDER BY id_a, id_b
+""",
+)
+def d05(spark, sf_dir):
+    """Exact n-gram Jaccard over blocked candidate pairs (block = source)."""
+    from liresolr_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", group_col="source", n=3, threshold=0.0
+    ).orderBy("id_a", "id_b")
+
+
+# ---- similarity search over embeddings --------------------------------------
+
+_COS = (
+    "list_dot_product(a, b) / (sqrt(list_dot_product(a, a)) * "
+    "sqrt(list_dot_product(b, b)))"
+)
+
+
+@_reg(
+    "e01_ann_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT vec_id AS id,
+         round({_COS}, 4) AS cosine
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), q
+)
+SELECT id, cosine FROM scored ORDER BY cosine DESC, id LIMIT 20
+""",
+)
+def e01(spark, sf_dir):
+    """Brute-force exact cosine top-k (the ANN baseline / re-rank analog of
+    LireRequestHandler.java:464-491)."""
+    from liresolr_spark.ops.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return cosine_topk(emb, qvec, 20)
+
+
+@_reg(
+    "e02_lsh_bucket_ann",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 1),
+qb AS (
+  SELECT list_aggregate([CASE WHEN b[i] > 0 THEN '1' ELSE '0' END
+                         for i in generate_series(1, 8)], 'string_agg', '') AS bucket
+  FROM q
+),
+cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS a
+  FROM embeddings, qb
+  WHERE list_aggregate([CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END
+                        for i in generate_series(1, 8)], 'string_agg', '') = qb.bucket
+)
+SELECT vec_id AS id, round({_COS}, 4) AS cosine
+FROM cand, q
+ORDER BY cosine DESC, id LIMIT 10
+""",
+)
+def e02(spark, sf_dir):
+    """Sign-LSH bucketed ANN: candidates pruned to the query's bucket, then
+    exact cosine — the two-phase candidates->exact shape at scale."""
+    from liresolr_spark.ops.similarity import lsh_bucket_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return lsh_bucket_topk(emb, qvec, 10)
+
+
+@_reg(
+    "e03_embedding_neardup",
+    f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+       AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.25
+ORDER BY id_a, id_b
+""",
+)
+def e03(spark, sf_dir):
+    """Embedding near-duplicate pairs: blocked by label, cosine threshold."""
+    from liresolr_spark.ops.similarity import neardup_pairs
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    return neardup_pairs(emb, 0.25).orderBy("id_a", "id_b")
+
+
+# ---- text analysis ----------------------------------------------------------
+
+@_reg(
+    "t01_language_id",
+    f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents WHERE doc_id < 300),
+scores AS (
+  SELECT doc_id,
+    [(-len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','for','with'))), 'en'),
+     (-len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))), 'de'),
+     (-len(list_filter(toks, t -> t IN ('el','la','los','que','es','para','con','una'))), 'es'),
+     (-len(list_filter(toks, t -> t IN ('le','la','les','et','est','pour','dans','une'))), 'fr')
+    ] AS pairs
+  FROM tok
+),
+best AS (SELECT doc_id, list_min(pairs) AS b FROM scores)
+SELECT doc_id AS id,
+       CASE WHEN -b[1] > 0 THEN b[2] ELSE 'und' END AS pred_lang,
+       CAST(-b[1] AS BIGINT) AS marker_hits
+FROM best ORDER BY id
+""",
+)
+def t01(spark, sf_dir):
+    """Language ID by marker-word hits (n-gram heuristic)."""
+    from liresolr_spark.ops.text import language_id
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return language_id(docs, "doc_id", "text").orderBy("id")
+
+
+@_reg(
+    "t02_quality_scores",
+    f"""
+WITH tok AS (
+  SELECT doc_id, text, {TOK} AS toks FROM documents WHERE doc_id < 300
+)
+SELECT doc_id AS id,
+  len(toks) AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+        THEN list_sum([length(t) for t in toks]) * 1.0 / len(toks)
+        ELSE 0 END, 4) AS mean_token_len,
+  round(CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / length(text)
+        ELSE 0 END, 4) AS punct_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN len(list_filter(toks, t -> t IN
+             ('the','and','of','to','in','is','for','with','a','an','it','on','at','by'))) * 1.0 / len(toks)
+        ELSE 0 END, 4) AS stopword_ratio
+FROM tok ORDER BY id
+""",
+)
+def t02(spark, sf_dir):
+    """Quality-score features: length / punctuation / stopword ratios."""
+    from liresolr_spark.ops.text import quality_scores
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return quality_scores(docs, "doc_id", "text").orderBy("id")
+
+
+@_reg(
+    "t03_token_counts",
+    r"""
+SELECT doc_id AS id,
+  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+  len(list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace(text, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                     '([a-z0-9])([A-Z])', '\1 \2', 'g')), '[^a-z0-9]+'),
+      t -> t <> '')) AS code_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+FROM documents WHERE doc_id < 300 ORDER BY id
+""",
+)
+def t03(spark, sf_dir):
+    """Token counting: whitespace, code-aware, BPE-ish regex segmentation."""
+    from liresolr_spark.ops.text import token_counts
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return token_counts(docs, "doc_id", "text").orderBy("id")
+
+
+@_reg(
+    "t04_fingerprints",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+         [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4])
+          for i in generate_series(1, greatest(len(l)-4, 0))] AS sh
+  FROM (SELECT doc_id, {TOK} AS l FROM documents WHERE doc_id < 300)
+)
+SELECT doc_id AS id,
+       list_min([md5(s) for s in sh]) AS fingerprint,
+       len(sh) AS n_shingles
+FROM sh ORDER BY id
+""",
+)
+def t04(spark, sf_dir):
+    """Document fingerprint: min-md5 over 5-gram shingles (winnowing-lite)."""
+    from liresolr_spark.ops.text import fingerprints
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return fingerprints(docs, "doc_id", "text", shingle_n=5).orderBy("id")
+
+
+# ---- multimodal plumbing (rows-only: numpy kernel not SQL-expressible) ------
+
+@_reg("m01_media_features", None)
+def m01(spark, sf_dir):
+    """Binary payload + typed metadata -> Arrow-batched fake featurizer
+    (byte histogram). Decode itself is stubbed (no media libs here); the
+    Spark plumbing — schema, batching, UDF signature — is the real thing."""
+    from liresolr_spark.ops.multimodal import attach_binary_payload, fake_feature_extract
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    return fake_feature_extract(media).orderBy("media_id")
+
+
+@_reg("m02_frame_sample", None)
+def m02(spark, sf_dir):
+    """Frame-sampling plan shape over binary payloads (decode stubbed)."""
+    from liresolr_spark.ops.multimodal import attach_binary_payload, frame_sample
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    return frame_sample(media, every_n=100).orderBy("media_id", "frame_idx")
+
+
+# ---- the persisted-index path inside the judged gate -------------------------
+
+@_reg("w01_wand_topk_index", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
+def w01(spark, sf_dir):
+    """Block-max WAND top-k THROUGH the persisted block index, verified
+    against the same BM25 oracle as q01 (WAND is a safe optimization: its
+    result must be exactly the exhaustive top-k).
+
+    Builds (once, cached per sf_dir) a real sharded index over the documents
+    table mapped into the corpus schema, queries it distributed, and maps
+    engine docIDs back to doc_id via docstats.
+    """
+    import hashlib as _h
+    import os as _os
+
+    from liresolr_spark.functions.tokenizer import py_tokenize as _pt
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import build_index
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/liresolr_entry_index_{tag}"
+    if not _os.path.exists(f"{idx}/meta.json"):
+        docs = _docs(spark, sf_dir)
+        corpus = docs.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.md5("text").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(corpus, idx, num_shards=8, block_size=128,
+                    with_hash_tokens=False)
+    hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
+    stats = spark.read.parquet(f"{idx}/docstats").select(
+        "docID", F.col("path").cast("long").alias("doc_id"))
+    return (
+        hits.join(stats, "docID")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

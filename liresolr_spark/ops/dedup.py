@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame pipelines (built-in expressions only — the
+whole plan compiles to JVM codegen) designed to scale: shingling and hashing
+happen before any shuffle, candidate generation uses equi-joins on hash/band
+keys (never a cross join), and verification joins are bounded to candidate
+pairs.
+
+The hash family is md5-derived everywhere so results are reproducible across
+engines (the same construction backs the DuckDB correctness oracles).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from liresolr_spark.functions.tokenizer import tokenize_expr
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def shingles_expr(tokens_col: Column, n: int = 3) -> Column:
+    """array of n-word shingles (space-joined) from a token array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
+    )
+
+
+def minhash_expr(shingles_col: Column, perm: int) -> Column:
+    """MinHash for permutation `perm`: min over shingles of md5('{perm}:'||s).
+
+    String-min over hex md5 is a valid uniform hash ordering and is
+    computable identically in Spark, DuckDB and Python."""
+    return F.array_min(
+        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    with group size and the deterministic keeper (min id). Scale: a single
+    hash-partitioned aggregation; the hash key is uniform so no skew."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keeper_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature, wide format (mh0..mh{k-1}). Docs shorter
+    than shingle_n tokens get NULL signatures (no shingles)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks"))
+    sh = toks.select("id", shingles_expr(F.col("toks"), shingle_n).alias("sh"))
+    cols = [minhash_expr(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
+    return sh.select("id", *cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature split into `bands` bands of
+    num_hashes/bands rows; docs sharing any full band collide.
+
+    Scale shape: explode to (band_id, band_key) — a uniform hash key — then
+    self-equi-join per bucket. No O(n^2) anywhere; bucket sizes are bounded
+    by collision probability, and AQE's skew-join splits any hot bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = (
+        sig.dropna()
+        .select("id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (default 16-bit): bit j is the sign of the sum over
+    token occurrences of +/-1, where a token votes +1 on bit j iff the j-th
+    hex digit of md5(token) has its high bit set.
+
+    Pipeline: explode tokens x explode bit positions -> two-level aggregation
+    (partial map-side combine keeps the shuffle small)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize_expr(F.col(text_col))).alias("t"))
+    h = toks.select("id", F.md5("t").alias("h"))
+    bitpos = h.select(
+        "id", "h", F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j"))
+    votes = bitpos.select(
+        "id", "j",
+        F.when(
+            F.substring("h", F.col("j").cast("int"), 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("v"),
+    )
+    bit_sums = votes.groupBy("id", "j").agg(F.sum("v").alias("s"))
+    weights = bit_sums.select(
+        "id",
+        (F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0))
+         * F.pow(F.lit(2.0), (F.lit(bits) - F.col("j"))).cast("long")).alias("w"),
+    )
+    return weights.groupBy("id").agg(F.sum("w").cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    group_col: str | None = None, n: int = 3, threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: distinct shingle sets,
+    equi-join on shingle (within group_col if given) to count intersections,
+    then |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale: the shingle join is an equi-join whose fan-out is bounded by
+    shingle df; restrict with group_col (e.g. LSH bucket or source) to keep
+    candidate generation sub-quadratic."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(group_col).alias("grp")] if group_col else []),
+        tokenize_expr(F.col(text_col)).alias("toks"),
+    )
+    sh = toks.select(
+        "id", *(["grp"] if group_col else []),
+        F.explode(F.array_distinct(shingles_expr(F.col("toks"), n))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    if group_col:
+        cond = cond & (F.col("a.grp") == F.col("b.grp"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "common", "jaccard")
