@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "extras": {...}}
+
+Covers the engine end-to-end: index build (throughput), WAND + DataFrame
+BM25 query paths, dedup/similarity/text pipeline ops, relational ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+
+    import pyspark.sql.functions as F
+
+    from liresolr_spark.session import get_spark
+    from liresolr_spark.entry_queries import REGISTRY, FLAGSHIP_QUERY
+    from liresolr_spark.functions.tokenizer import py_tokenize
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import build_index
+    from liresolr_spark.ship import ship_package
+
+    spark = get_spark("bench", cores=cpus)
+    ship_package(spark)
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # warm up the JVM / parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # ---- index build throughput over the source-code corpus ----------------
+    # (FIXTURES.md §1 sf-bench shape; the engine's actual workload per
+    # north_rule — the documents table is too small to exercise the build)
+    from liresolr_spark.sources.corpus import synthetic_code_corpus
+
+    corpus_rows = int(os.environ.get(
+        "BENCH_CORPUS_ROWS", "20000" if sf_label == "0.1" else "2000"))
+    corpus_path = f"/tmp/liresolr_bench_corpus_{corpus_rows}"
+    if not os.path.exists(corpus_path):  # generation is NOT what we benchmark
+        synthetic_code_corpus(spark, corpus_rows, seed=42) \
+            .write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    idx = f"/tmp/liresolr_bench_index_{sf_label}_{corpus_rows}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    metrics = build_index(corpus, idx, num_shards=32, block_size=128)
+    timings["index_build"] = round(time.time() - t0, 3)
+    extras["index_files_per_sec"] = metrics["files_per_sec"]
+    extras["index_n_docs"] = metrics["n_docs"]
+    extras["index_stage_sec"] = metrics["stages"]
+
+    # ---- WAND query latency (the headline query path) -----------------------
+    t0 = time.time()
+    wand_topk(spark, idx, py_tokenize("readFile tokenBlock sortMerge"), k=60).collect()
+    timings["wand_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    wand_topk(spark, idx, py_tokenize("import return def public"), k=100).collect()
+    timings["wand_hot_terms"] = round(time.time() - t0, 3)
+
+    # ---- registry queries (oracle-checked workload) --------------------------
+    bench_set = [
+        "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",
+        "q09_pagination", "d01_exact_dedup", "d03_minhash_lsh_pairs",
+        "d04_simhash", "e01_ann_cosine_topk", "e03_embedding_neardup",
+        "t03_token_counts", "t04_fingerprints", "r01_pricing_summary",
+        "r02_top_customers", "m01_media_features",
+    ]
+    for name in bench_set:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index_build+query_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "extras": extras,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

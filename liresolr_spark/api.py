@@ -1,0 +1,254 @@
+"""Query API facade — the analog of the reference's three request handlers
+registered in solrconfig.xml (ref: README.md:108-132):
+
+  /lireq    -> LireQueryEngine.search(...)        (LireRequestHandler)
+  /lireId   -> LireQueryEngine.identity(...)      (IdentityRequestHandler)
+  /lireSim  -> LireQueryEngine.similar(...)       (SimilarRequestHandler)
+  lirefunc  -> LireQueryEngine.function_sort(...) (LireValueSource)
+
+Each method returns a DataFrame (lazy logical plan); per-request metrics are
+returned alongside via `last_metrics` — the analog of RawDocsSearchTime /
+ReRankSearchTime in the reference's responses
+(ref: LireRequestHandler.java:460-461,493-494).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from liresolr_spark import DEFAULT_CANDIDATES, DEFAULT_ROWS, MAX_QUERY_TERMS
+from liresolr_spark.functions.tokenizer import py_hash_token, py_tokenize
+from liresolr_spark.operators.wand import wand_topk
+from liresolr_spark.plans.build import read_meta
+
+
+class LireQueryEngine:
+    """Query interface over a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self.last_metrics: dict = {}
+
+    # -- internals ----------------------------------------------------------
+
+    def _docstats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docstats")
+
+    def _check_clauses(self, terms: list[str]) -> list[str]:
+        # ref: BooleanQuery.setMaxClauseCount(10000), SimilarRequestHandler.java:101
+        if len(terms) > MAX_QUERY_TERMS:
+            raise ValueError(
+                f"too many query terms: {len(terms)} > {MAX_QUERY_TERMS}")
+        return terms
+
+    def _paginate(self, hits: DataFrame, start: int, rows: int) -> DataFrame:
+        """Slice [start, start+rows) of the ranked hits
+        (ref: LireRequestHandler.java:519-528)."""
+        from pyspark.sql.window import Window
+
+        if start == 0:
+            return hits.limit(rows)
+        w = Window.orderBy(F.desc("score"), F.asc("docID"))
+        return (
+            hits.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank").between(start + 1, start + rows))
+            .drop("_rank")
+        )
+
+    def _project(self, hits: DataFrame) -> DataFrame:
+        """Response projection {id fields, score} + payload join
+        (ref: LireRequestHandler.java:520-524 — SURVEY P1/J2)."""
+        stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
+        return hits.join(stats, "docID").select(
+            "docID", "repo", "path", "commit", "lang", "score"
+        ).orderBy(F.desc("score"), F.asc("docID"))
+
+    # -- /lireq analog ------------------------------------------------------
+
+    def search(
+        self,
+        text: str | None = None,
+        hashes: list[str] | None = None,
+        doc_id: int | None = None,
+        start: int = 0,
+        rows: int = DEFAULT_ROWS,
+        fq: str | None = None,
+        candidates: int = DEFAULT_CANDIDATES,
+        subsample: float | None = None,
+        seed: int = 42,
+    ) -> DataFrame:
+        """Dispatch on query source, exactly like handleRequestBody
+        (ref: LireRequestHandler.java:103-130):
+
+        - text=...   : tokenize and search the lexical field ('url=' analog —
+                       query feature computed from a supplied payload)
+        - hashes=... : pre-computed hash tokens against the 'ha' field
+                       (ref: handleHashSearch :379-424)
+        - doc_id=... : query-by-example: fetch the indexed doc's content
+                       hashes and search with them (ref: handleIdSearch
+                       :141-197 — hashes re-generated from the payload, :180)
+        - neither    : random sample (ref: handleRandomSearch :207-232)
+
+        subsample: optional fraction of query terms kept (seeded), the
+        reference's 50%-hash trade-off (ref: createQuery :576-592) — unlike
+        the reference we default to NO subsampling because WAND makes the
+        full query affordable; pass 0.5 to reproduce reference behavior.
+
+        Two-phase shape: WAND gives top-`candidates`; exact re-rank then
+        orders by the same exact score (our exact phase IS the BM25 score,
+        so candidates=k suffices; the parameter exists for parity with the
+        20000-candidate pool, LireRequestHandler.java:59).
+        """
+        t0 = time.time()
+        field = "text"
+        if hashes is not None:
+            field, terms = "ha", list(hashes)
+        elif text is not None:
+            terms = py_tokenize(text)
+        elif doc_id is not None:
+            return self._search_by_example(doc_id, start, rows)
+        else:
+            return self.random_sample(rows, seed=seed)
+        self._check_clauses(terms)
+        if subsample is not None and terms:
+            rng = random.Random(seed)  # seeded, unlike ref Collections.shuffle
+            keep = max(5, int(len(terms) * subsample))
+            terms = rng.sample(terms, min(keep, len(terms)))
+        pool = max(start + rows, min(candidates, DEFAULT_CANDIDATES))
+        hits = wand_topk(self.spark, self.index_dir, terms, k=pool, field=field)
+        if fq:
+            stats = self._docstats()
+            hits = hits.join(stats.select("docID", "repo", "path", "lang"), "docID") \
+                       .filter(F.expr(fq)).select("docID", "score")
+        out = self._project(self._paginate(hits, start, rows))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": field, "n_terms": len(terms), "pool": pool,
+        }
+        return out
+
+    def _search_by_example(self, doc_id: int, start: int, rows: int) -> DataFrame:
+        """Query-by-example: point-lookup the doc, re-generate its hash tokens
+        from the payload (recompute-vs-store, ref: LireRequestHandler.java:179-180),
+        search the ha field, excluding the example itself."""
+        stats = self._docstats()
+        row = stats.filter(F.col("docID") == doc_id).first()
+        if row is None:
+            raise KeyError(f"docID {doc_id} not in index")
+        # hashes regenerated from indexed terms of this doc (payload analog):
+        # decode the doc's own posting terms from the ha field via dictionary
+        # would need an inverted lookup; instead recompute from content if the
+        # corpus is reachable — here we use the lexical terms of the doc by
+        # scanning its shard's postings (cheap: one shard, term-major).
+        # Distributed inverted lookup: decode only this doc's shard (partition
+        # pruned) and only blocks whose [first_docid, last_docid] range covers
+        # it (row-group stat pruned) — the Lucene "fetch doc's terms" analog.
+        from liresolr_spark.ship import ship_package
+
+        ship_package(self.spark)
+        blocks = self.spark.read.parquet(f"{self.index_dir}/blocks").filter(
+            (F.col("shard") == int(row["shard"])) & (F.col("field") == "ha")
+            & (F.col("first_docid") <= doc_id) & (F.col("last_docid") >= doc_id)
+        )
+
+        def find_terms(batches):
+            import numpy as np
+            import pandas as pd
+
+            from liresolr_spark.functions.codec import decode_block as _dec
+
+            for pdf in batches:
+                hits = [
+                    t for t, d in zip(pdf["term"], pdf["docids"])
+                    if doc_id in _dec(bytes(d), b"")[0].astype(np.int64)
+                ]
+                yield pd.DataFrame({"term": hits})
+
+        hit_terms = [
+            r["term"]
+            for r in blocks.select("term", "docids")
+            .mapInPandas(find_terms, schema="term string").collect()
+        ]
+        hits = wand_topk(self.spark, self.index_dir, hit_terms,
+                         k=start + rows + 1, field="ha")
+        hits = hits.filter(F.col("docID") != doc_id)
+        return self._project(self._paginate(hits, start, rows))
+
+    # -- /lireId analog -----------------------------------------------------
+
+    def identity(
+        self, text: str, threshold: float,
+        candidates: int = 25000, rows: int = DEFAULT_ROWS,
+    ) -> DataFrame:
+        """Near-identity check: candidates by index score, then keep only
+        those whose exact distance passes the threshold (ref:
+        IdentityRequestHandler.java:105-133 thresholds from properties;
+        threshold predicate is SURVEY P4/P5). Our exact distance is
+        1/(1+BM25) mapped to [0,1) so lower = closer, like LIRE distances."""
+        terms = py_tokenize(text)
+        hits = wand_topk(self.spark, self.index_dir, terms, k=candidates)
+        scored = hits.withColumn("dist", 1.0 / (1.0 + F.col("score")))
+        passed = scored.filter(F.col("dist") < threshold)
+        return (
+            self._project(passed.select("docID", "score"))
+            .join(passed.select("docID", "dist"), "docID")
+            .orderBy(F.asc("dist"), F.asc("docID"))
+            .limit(rows)
+        )
+
+    # -- /lireSim analog ----------------------------------------------------
+
+    def similar(
+        self, text: str, rows: int = 30,
+        pool_text: int = 25000, pool_ha: int = 30,
+    ) -> DataFrame:
+        """Dual-field candidate retrieval merged into one re-rank pool
+        (ref: SimilarRequestHandler.java:154-205 — CL candidates + SURF
+        visual-word candidates, union, dedupe, bounded re-rank): here the
+        lexical field and the hash-token field each contribute candidates;
+        union + dropDuplicates + re-rank by combined score (SURVEY U1/J4)."""
+        terms = py_tokenize(text)
+        ha_terms = [py_hash_token(t) for t in terms]
+        c1 = wand_topk(self.spark, self.index_dir, terms, k=pool_text,
+                       field="text")
+        c2 = wand_topk(self.spark, self.index_dir, ha_terms, k=pool_ha,
+                       field="ha")
+        pool = c1.unionByName(c2).groupBy("docID").agg(
+            F.max("score").alias("score"))
+        return self._project(
+            pool.orderBy(F.desc("score"), F.asc("docID")).limit(rows))
+
+    # -- lirefunc analog ----------------------------------------------------
+
+    def function_sort(self, expr: str, rows: int = DEFAULT_ROWS,
+                      ascending: bool = True) -> DataFrame:
+        """Sort the whole corpus by a per-doc scalar expression — the
+        `sort=lirefunc(...)` path (ref: README.md:204-212,
+        LireValueSource.java:85-109). expr is a SQL expression over docstats
+        columns (docID, repo, path, commit, lang, doclen, sha256)."""
+        stats = self._docstats()
+        val = F.expr(expr)
+        ordered = stats.withColumn("fval", val).orderBy(
+            F.asc("fval") if ascending else F.desc("fval"), F.asc("docID"))
+        return ordered.select("docID", "repo", "path", "fval").limit(rows)
+
+    # -- random (ref: handleRandomSearch) ------------------------------------
+
+    def random_sample(self, rows: int, seed: int = 42) -> DataFrame:
+        """Seeded random docs (ref: LireRequestHandler.java:207-232 uses
+        Math.random(); we hash with a seed for reproducibility)."""
+        stats = self._docstats()
+        return (
+            stats.withColumn(
+                "score",
+                F.xxhash64(F.col("docID"), F.lit(seed)).cast("double"))
+            .orderBy("score").select("docID", "repo", "path", "commit", "lang",
+                                     F.lit(0.0).alias("score"))
+            .limit(rows)
+        )

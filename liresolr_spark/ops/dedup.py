@@ -93,10 +93,14 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     bands_df = (
-        sig.dropna()
+        sig.filter(F.col("mh0").isNotNull())  # mh's are null together (no shingles)
         .select("id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    # materialize the (small) band table once: both self-join sides would
+    # otherwise recompute tokenize+shingle+minhash — at scale you persist the
+    # signature table as its own artifact, this is the in-plan equivalent
+    bands_df = bands_df.persist()
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (

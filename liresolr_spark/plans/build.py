@@ -108,24 +108,30 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
     """
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard, field, term = key
-        order = np.argsort(pdf["docID"].values, kind="stable")
-        doc_ids = pdf["docID"].values[order].astype(np.uint64)
+        shard, field = key
+        codes, terms_u = pd.factorize(pdf["term"], sort=True)
+        doc_ids = pdf["docID"].values.astype(np.int64)
+        order = np.lexsort((doc_ids, codes))
+        codes = codes[order].astype(np.int64)
+        doc_ids = doc_ids[order].astype(np.uint64)
         tfs = pdf["tf"].values[order].astype(np.uint64)
         dls = pdf["doclen"].values[order].astype(np.float64)
         tf_f = tfs.astype(np.float64)
         norm = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
-        range_key = (doc_ids // np.uint64(block_size)).astype(np.int64)
-        uniq, starts = np.unique(range_key, return_index=True)
+        # composite group key (term, docID-range); monotonic in sort order,
+        # so np.unique boundaries give contiguous slices
+        rk = (doc_ids // np.uint64(block_size)).astype(np.int64)
+        key2 = (codes << np.int64(32)) | rk
+        _uniq, starts = np.unique(key2, return_index=True)
         bounds = np.append(starts, len(doc_ids))
         rows = []
-        for i, rk in enumerate(uniq):
+        for i in range(len(starts)):
             s, e = bounds[i], bounds[i + 1]
             d_bytes, t_bytes = encode_block(doc_ids[s:e], tfs[s:e])
             rows.append(
                 (
-                    int(shard), field, term, int(rk), int(e - s),
-                    int(doc_ids[s]), int(doc_ids[e - 1]),
+                    int(shard), field, str(terms_u[codes[s]]), int(rk[s]),
+                    int(e - s), int(doc_ids[s]), int(doc_ids[e - 1]),
                     d_bytes, t_bytes, float(norm[s:e].max()),
                 )
             )
@@ -254,7 +260,12 @@ def build_index(
             )
 
         with stage("blocks"):
-            blocks = tf.groupBy("shard", "field", "term").applyInPandas(
+            # group per (shard, field): 2 groups per shard, each the size of
+            # one shard's postings — balanced by construction (shard = docID
+            # range), term-level grouping happens vectorized inside the
+            # kernel. Grouping by (shard,field,term) instead would create
+            # millions of tiny pandas groups (per-group overhead dominates).
+            blocks = tf.groupBy("shard", "field").applyInPandas(
                 builder, schema=BLOCK_SCHEMA
             )
             (blocks.sortWithinPartitions("field", "term", "block_seq")

@@ -1,0 +1,107 @@
+"""API surface tests: the /lireq, /lireId, /lireSim, lirefunc analogs
+(SURVEY §3), driven through LireQueryEngine over a built index."""
+
+from __future__ import annotations
+
+import pytest
+
+from liresolr_spark.api import LireQueryEngine
+from liresolr_spark.oracle import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus200, tmp_path_factory):
+    from liresolr_spark.plans.build import build_index
+
+    d = str(tmp_path_factory.mktemp("apiindex"))
+    build_index(corpus200, d, num_shards=4, block_size=64)
+    return LireQueryEngine(spark, d)
+
+
+@pytest.fixture(scope="module")
+def docs_local(spark, corpus200):
+    from liresolr_spark.plans.build import NATURAL_KEY
+    from liresolr_spark.sources.corpus import assign_doc_ids
+
+    rows = assign_doc_ids(corpus200, NATURAL_KEY).select("docID", "content").collect()
+    return [(r["docID"], r["content"]) for r in rows]
+
+
+def test_search_text_matches_oracle(engine, docs_local):
+    q = "readFile tokenBlock sortMerge"
+    got = engine.search(text=q, rows=10).collect()
+    want = brute_force_topk(docs_local, q, k=10)
+    assert [(r["docID"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    assert {"repo", "path", "commit", "lang", "score"} <= set(got[0].asDict())
+    assert engine.last_metrics["n_terms"] == 6  # camel-split
+
+
+def test_search_pagination(engine):
+    q = "import return def"
+    page1 = [r["docID"] for r in engine.search(text=q, rows=10).collect()]
+    page2 = [r["docID"] for r in engine.search(text=q, start=10, rows=10).collect()]
+    full = [r["docID"] for r in engine.search(text=q, rows=20).collect()]
+    assert page1 + page2 == full
+
+
+def test_search_fq_filter(engine):
+    hits = engine.search(text="import return", rows=50, fq="lang = 'python'").collect()
+    assert len(hits) > 0
+    assert all(r["lang"] == "python" for r in hits)
+
+
+def test_search_by_hashes(engine, docs_local):
+    from liresolr_spark.functions.tokenizer import py_hash_token, py_tokenize
+
+    q = "readFile tokenBlock"
+    hashes = [py_hash_token(t) for t in py_tokenize(q)]
+    got = engine.search(hashes=hashes, rows=10).collect()
+    want = brute_force_topk(docs_local, q, k=10, field="ha")
+    assert [(r["docID"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def test_search_by_example(engine):
+    got = engine.search(doc_id=5, rows=10).collect()
+    assert len(got) == 10
+    assert all(r["docID"] != 5 for r in got)  # example excluded
+
+
+def test_random_sample_seeded(engine):
+    a = [r["docID"] for r in engine.search(rows=15).collect()]
+    b = [r["docID"] for r in engine.search(rows=15).collect()]
+    assert a == b  # deterministic under fixed seed
+    assert len(set(a)) == 15
+
+
+def test_subsample_deterministic(engine):
+    q = "readFile tokenBlock sortMerge dataNode hash_map"
+    a = [r["docID"] for r in engine.search(text=q, subsample=0.5).collect()]
+    b = [r["docID"] for r in engine.search(text=q, subsample=0.5).collect()]
+    assert a == b  # seeded subsampling, unlike ref's unseeded shuffle
+
+
+def test_identity_threshold(engine):
+    out = engine.identity("import return def public", threshold=0.999).collect()
+    assert all(r["dist"] < 0.999 for r in out)
+
+
+def test_similar_dual_field(engine):
+    out = engine.similar("readFile tokenBlock", rows=10).collect()
+    assert 0 < len(out) <= 10
+    ids = [r["docID"] for r in out]
+    assert len(ids) == len(set(ids))  # deduped pool
+
+
+def test_function_sort(engine):
+    out = engine.function_sort("abs(doclen - 2000)", rows=5).collect()
+    vals = [r["fval"] for r in out]
+    assert vals == sorted(vals)
+
+
+def test_max_clause_guard(engine):
+    with pytest.raises(ValueError):
+        engine.search(text=" ".join(f"t{i}" for i in range(10001)))
