@@ -166,7 +166,7 @@ class LireQueryEngine:
             for pdf in batches:
                 hits = [
                     t for t, d in zip(pdf["term"], pdf["docids"])
-                    if doc_id in _dec(bytes(d), b"")[0].astype(np.int64)
+                    if doc_id in _dec(bytes(d), b"", b"")[0].astype(np.int64)
                 ]
                 yield pd.DataFrame({"term": hits})
 

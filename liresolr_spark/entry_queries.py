@@ -832,9 +832,17 @@ def w01(spark, sf_dir):
     from liresolr_spark.ship import ship_package
 
     ship_package(spark)
+    from liresolr_spark import INDEX_FORMAT_VERSION
+    from liresolr_spark.plans.build import read_meta
+
     tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/liresolr_entry_index_{tag}"
-    if not _os.path.exists(f"{idx}/meta.json"):
+    stale = (not _os.path.exists(f"{idx}/meta.json")
+             or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
+    if stale:
+        import shutil as _sh
+
+        _sh.rmtree(idx, ignore_errors=True)
         docs = _docs(spark, sf_dir)
         corpus = docs.select(
             F.col("source").alias("repo"),

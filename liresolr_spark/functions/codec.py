@@ -76,10 +76,28 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(g, dtype=np.uint64)
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
-    """(docID run, tf run) -> (delta+varint docids, varint tfs)."""
-    return varint_encode(delta_encode(doc_ids)), varint_encode(tfs)
+def encode_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """(docID run, tf run, doclen run) -> (delta+varint docids, varint tfs,
+    varint doclens).
+
+    doclens are denormalized into every block (the analog of Lucene's
+    per-field norms living inside the index segment): scoring a posting
+    needs the doc's length, and carrying it here means a query reads ONLY
+    the blocks of its terms — never a corpus-sized doc-stats table."""
+    return (
+        varint_encode(delta_encode(doc_ids)),
+        varint_encode(tfs),
+        varint_encode(doclens),
+    )
 
 
-def decode_block(docid_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
-    return delta_decode(varint_decode(docid_bytes)), varint_decode(tf_bytes)
+def decode_block(
+    docid_bytes: bytes, tf_bytes: bytes, doclen_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        delta_decode(varint_decode(docid_bytes)),
+        varint_decode(tf_bytes),
+        varint_decode(doclen_bytes),
+    )

@@ -180,39 +180,32 @@ def bm25_topk_from_index(
 
     blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
         (F.col("field") == field) & F.col("term").isin(list(idf))
-    )
+    ).select("term", "docids", "tfs", "doclens")
     k1, b, avgdl = meta.k1, meta.b, meta.avgdl
 
     def score_blocks(batches):
         for pdf in batches:
             outs = []
-            for term, d_bytes, t_bytes in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
-                ids, tfs = decode_block(bytes(d_bytes), bytes(t_bytes))
-                tfs = tfs.astype(np.float64)
-                # dl reconstructed via docstats join below would add a shuffle;
-                # instead blocks carry tf only, so join doclen afterwards.
+            for term, d_bytes, t_bytes, l_bytes in zip(
+                pdf["term"], pdf["docids"], pdf["tfs"], pdf["doclens"]
+            ):
+                ids, tfs, dls = decode_block(
+                    bytes(d_bytes), bytes(t_bytes), bytes(l_bytes))
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                sc = b_idf.value[term] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl))
                 outs.append(pd.DataFrame({
-                    "docID": ids.astype(np.int64),
-                    "term": term,
-                    "tf": tfs,
-                    "w": b_idf.value[term],
-                }))
+                    "docID": ids.astype(np.int64), "term_score": sc}))
             yield pd.concat(outs) if outs else pd.DataFrame(
-                {"docID": pd.Series(dtype="int64"), "term": pd.Series(dtype="str"),
-                 "tf": pd.Series(dtype="float64"), "w": pd.Series(dtype="float64")})
+                {"docID": pd.Series(dtype="int64"),
+                 "term_score": pd.Series(dtype="float64")})
 
+    # doclens ride inside each block (codec third stream — the Lucene-norms
+    # analog), so scoring never joins a corpus-sized docstats table: the
+    # query's input is exactly the posting blocks of its terms.
     flat = blocks.mapInPandas(
-        score_blocks, schema="docID long, term string, tf double, w double"
+        score_blocks, schema="docID long, term_score double"
     )
-    doclens = spark.read.parquet(f"{index_dir}/docstats").select("docID", "doclen")
-    scored = (
-        flat.join(doclens, "docID")
-        .withColumn(
-            "term_score",
-            F.col("w") * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
-        )
-        .groupBy("docID")
-        .agg(F.sum("term_score").alias("score"))
-    )
+    scored = flat.groupBy("docID").agg(F.sum("term_score").alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -24,9 +24,12 @@ This is a SAFE optimization: results are exactly the exhaustive top-k
 candidate cap of 20000 (LireRequestHandler.java:59).
 
 Spark plan: blocks are partition-pruned to the query's terms (parquet
-row-group stats on `term`), cogrouped per shard with docstats (doclen),
-kernel runs as applyInPandas — one Arrow batch per shard, no driver-side
-posting materialization, no shuffle of raw postings.
+row-group stats on `term`); the kernel runs as applyInPandas grouped by
+shard — one Arrow batch per shard, no driver-side posting materialization,
+no shuffle of raw postings. Doclens travel INSIDE each block (codec third
+stream, the analog of Lucene per-segment norms), so a query's input is
+proportional to the posting lists of its terms — it never scans a
+corpus-sized doc-stats table (critical at 10^12 docs).
 """
 
 from __future__ import annotations
@@ -43,18 +46,12 @@ from liresolr_spark.plans.build import read_meta
 
 def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
                   block_size: int):
-    """Returns the cogrouped applyInPandas kernel: (blocks, doclens) -> topk."""
+    """Returns the applyInPandas kernel: (shard's query-term blocks) -> topk."""
 
-    def kernel(blocks: pd.DataFrame, doclens: pd.DataFrame) -> pd.DataFrame:
-        if len(blocks) == 0 or len(doclens) == 0:
+    def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
             return pd.DataFrame({"docID": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
-        # shard-local dense doclen lookup
-        dl_ids = doclens["docID"].values.astype(np.int64)
-        base = int(dl_ids.min())
-        dl = np.zeros(int(dl_ids.max()) - base + 1, dtype=np.float64)
-        dl[dl_ids - base] = doclens["doclen"].values.astype(np.float64)
-
         terms = blocks["term"].values
         seqs = blocks["block_seq"].values.astype(np.int64)
         w = np.array([idf[t] for t in terms], dtype=np.float64)
@@ -71,6 +68,7 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
 
         docid_col = blocks["docids"].values
         tf_col = blocks["tfs"].values
+        dl_col = blocks["doclens"].values
 
         for ri in visit_order:
             if len(top_ids) >= k and ub[ri] <= theta:
@@ -78,10 +76,11 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
             members = np.nonzero(inv == ri)[0]
             ids_all, sc_all = [], []
             for m in members:
-                ids, tfs = decode_block(bytes(docid_col[m]), bytes(tf_col[m]))
+                ids, tfs, dls_u = decode_block(
+                    bytes(docid_col[m]), bytes(tf_col[m]), bytes(dl_col[m]))
                 ids = ids.astype(np.int64)
                 tf_f = tfs.astype(np.float64)
-                dls = dl[ids - base]
+                dls = dls_u.astype(np.float64)
                 sc = w[m] * tf_f * (k1 + 1.0) / (
                     tf_f + k1 * (1.0 - b + b * dls / avgdl))
                 ids_all.append(ids)
@@ -131,16 +130,11 @@ def wand_topk(
     # partition pruning on shard dirs is automatic; row-group stats prune term
     blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
         (F.col("field") == field) & F.col("term").isin(list(idf))
-    ).select("shard", "term", "block_seq", "docids", "tfs", "max_tf_norm")
-    doclens = spark.read.parquet(f"{index_dir}/docstats").select(
-        "shard", "docID", "doclen")
+    ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
+             "max_tf_norm")
 
     kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl, meta.block_size)
-    per_shard = (
-        blocks.groupBy("shard")
-        .cogroup(doclens.groupBy("shard"))
-        .applyInPandas(lambda bl, dl: kernel(bl, dl),
-                       schema="docID long, score double")
-    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        lambda bl: kernel(bl), schema="docID long, score double")
     # global merge: bounded heap per partition + driver merge (TakeOrderedAndProject)
     return per_shard.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -50,7 +50,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from liresolr_spark import BM25_B, BM25_K1, HASH_VERSION
+from liresolr_spark import BM25_B, BM25_K1, HASH_VERSION, INDEX_FORMAT_VERSION
 from liresolr_spark.functions.codec import encode_block
 from liresolr_spark.functions.tokenizer import hash_tokens_expr, tokenize_expr
 from liresolr_spark.sources.corpus import assign_doc_ids
@@ -58,7 +58,7 @@ from liresolr_spark.sources.corpus import assign_doc_ids
 BLOCK_SCHEMA = (
     "shard int, field string, term string, block_seq int, count int, "
     "first_docid long, last_docid long, docids binary, tfs binary, "
-    "max_tf_norm double"
+    "doclens binary, max_tf_norm double"
 )
 
 NATURAL_KEY = ["repo", "path", "commit"]
@@ -74,6 +74,7 @@ class IndexMeta:
     hash_version: int
     k1: float
     b: float
+    format_version: int = 1  # pre-doclens indexes carry no key -> 1
 
 
 def _paths(index_dir: str) -> dict:
@@ -124,21 +125,24 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         key2 = (codes << np.int64(32)) | rk
         _uniq, starts = np.unique(key2, return_index=True)
         bounds = np.append(starts, len(doc_ids))
+        dls_u = dls.astype(np.uint64)
         rows = []
         for i in range(len(starts)):
             s, e = bounds[i], bounds[i + 1]
-            d_bytes, t_bytes = encode_block(doc_ids[s:e], tfs[s:e])
+            d_bytes, t_bytes, l_bytes = encode_block(
+                doc_ids[s:e], tfs[s:e], dls_u[s:e])
             rows.append(
                 (
                     int(shard), field, str(terms_u[codes[s]]), int(rk[s]),
                     int(e - s), int(doc_ids[s]), int(doc_ids[e - 1]),
-                    d_bytes, t_bytes, float(norm[s:e].max()),
+                    d_bytes, t_bytes, l_bytes, float(norm[s:e].max()),
                 )
             )
         return pd.DataFrame(
             rows,
             columns=["shard", "field", "term", "block_seq", "count",
-                     "first_docid", "last_docid", "docids", "tfs", "max_tf_norm"],
+                     "first_docid", "last_docid", "docids", "tfs", "doclens",
+                     "max_tf_norm"],
         )
 
     return build
@@ -204,12 +208,28 @@ def build_index(
         return _T()
 
     # ---- resume bookkeeping -------------------------------------------------
+    import shutil
+
     done_shards: set[int] = set()
     if resume and os.path.exists(p["manifest"]):
         man = spark.read.parquet(p["manifest"])
         done_shards = {
             int(r["shard"]) for r in man.filter(F.col("status") == "done").collect()
         }
+    elif not resume:
+        for key in ("docstats", "blocks", "manifest"):
+            shutil.rmtree(p[key], ignore_errors=True)
+    # a build killed MID-wave leaves shard partitions in docstats/blocks with
+    # no manifest row; drop them so the re-run is exactly-once (local-FS
+    # analog of a Hadoop FileSystem delete of the orphaned shard dirs /
+    # an Iceberg snapshot rollback)
+    for key in ("docstats", "blocks"):
+        base = p[key]
+        if os.path.exists(base):
+            for d in os.listdir(base):
+                if d.startswith("shard="):
+                    if int(d.split("=", 1)[1]) not in done_shards:
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     metrics["resumed_shards_skipped"] = len(done_shards)
 
     # ---- docID assignment (deterministic global rank) -----------------------
@@ -277,7 +297,8 @@ def build_index(
             shard_stats = all_blocks.groupBy("shard").agg(
                 F.min("term").alias("term_lo"),
                 F.max("term").alias("term_hi"),
-                F.sum(F.length("docids") + F.length("tfs")).alias("bytes_written"),
+                F.sum(F.length("docids") + F.length("tfs")
+                      + F.length("doclens")).alias("bytes_written"),
             )
             shard_docs = (
                 spark.read.parquet(p["docstats"])
@@ -303,6 +324,7 @@ def build_index(
             n_docs=n_docs, avgdl=avgdl, num_shards=num_shards,
             docs_per_shard=docs_per_shard, block_size=block_size,
             hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
+            format_version=INDEX_FORMAT_VERSION,
         )
         with open(p["meta"], "w") as f:
             json.dump(asdict(meta), f)

@@ -54,10 +54,12 @@ def test_varint_roundtrip_property(vals):
 def test_block_roundtrip_property(ids):
     doc_ids = np.array(sorted(ids), dtype=np.uint64)
     tfs = (doc_ids % np.uint64(37)) + np.uint64(1)
-    d, t = encode_block(doc_ids, tfs)
-    ids2, tfs2 = decode_block(d, t)
+    dls = (doc_ids % np.uint64(991)) + np.uint64(1)
+    d, t, l = encode_block(doc_ids, tfs, dls)
+    ids2, tfs2, dls2 = decode_block(d, t, l)
     assert np.array_equal(ids2, doc_ids)
     assert np.array_equal(tfs2, tfs)
+    assert np.array_equal(dls2, dls)
 
 
 def test_delta_adjacent_and_singleton():

@@ -1,0 +1,90 @@
+"""WAND safety property (SURVEY §5.2.5): block-max WAND must return EXACTLY
+the exhaustive top-k — it is a safe optimization, unlike the reference's
+lossy 20000-candidate cap (LireRequestHandler.java:59).
+
+Randomized multi-term queries (seeded) drawn from the corpus vocabulary,
+including hot skewed terms, rare terms, repeated terms, and out-of-vocab
+terms, compared against the exhaustive index scorer and the block upper
+bound invariant.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from liresolr_spark.functions.codec import decode_block
+from liresolr_spark.operators.bm25 import bm25_topk_from_index
+from liresolr_spark.operators.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, corpus200, tmp_path_factory):
+    from liresolr_spark.plans.build import build_index
+
+    d = str(tmp_path_factory.mktemp("wand_index"))
+    build_index(corpus200, d, num_shards=8, block_size=64)
+    return d
+
+
+@pytest.fixture(scope="module")
+def vocab(spark, indexed):
+    rows = (
+        spark.read.parquet(f"{indexed}/dictionary")
+        .filter(F.col("field") == "text")
+        .orderBy(F.desc("df"), "term")
+        .select("term", "df")
+        .collect()
+    )
+    return [(r["term"], r["df"]) for r in rows]
+
+
+def test_wand_equals_exhaustive_on_random_queries(spark, indexed, vocab):
+    rng = random.Random(1234)
+    hot = [t for t, _ in vocab[:10]]
+    rare = [t for t, df in vocab if df <= 3][:20] or [t for t, _ in vocab[-20:]]
+    mid = [t for t, _ in vocab[10:60]]
+    for trial in range(8):
+        nterms = rng.randint(1, 6)
+        pool = rng.choice([hot, mid, rare, hot + mid + rare])
+        q = [rng.choice(pool) for _ in range(nterms)]
+        if trial % 3 == 0:
+            q.append(q[0])            # repeated term -> qtf > 1
+        if trial % 4 == 0:
+            q.append("zz_out_of_vocab_zz")
+        k = rng.choice([1, 5, 20, 60])
+        want = [(r["docID"], r["score"])
+                for r in bm25_topk_from_index(spark, indexed, q, k=k).collect()]
+        got = [(r["docID"], r["score"])
+               for r in wand_topk(spark, indexed, q, k=k).collect()]
+        assert len(got) == len(want), (q, k)
+        for (gid, gs), (wid, ws) in zip(got, want):
+            assert gid == wid, (q, k, got, want)
+            assert abs(gs - ws) < 1e-9 * max(1.0, abs(ws))
+
+
+def test_block_max_is_upper_bound(spark, indexed):
+    """Per-block max_tf_norm must bound every contained posting's tf-norm
+    (WAND pruning is only safe under this invariant — SURVEY §7.4.6)."""
+    from liresolr_spark.plans.build import read_meta
+
+    meta = read_meta(indexed)
+    k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+    rows = (
+        spark.read.parquet(f"{indexed}/blocks")
+        .sample(0.2, seed=7)
+        .limit(300)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        ids, tfs, dls = decode_block(
+            bytes(r["docids"]), bytes(r["tfs"]), bytes(r["doclens"]))
+        assert len(ids) == r["count"]
+        assert ids[0] == r["first_docid"] and ids[-1] == r["last_docid"]
+        tf = tfs.astype(float)
+        dl = dls.astype(float)
+        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        assert norm.max() <= r["max_tf_norm"] + 1e-12
