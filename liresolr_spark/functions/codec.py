@@ -76,6 +76,44 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(g, dtype=np.uint64)
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 encoded length (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    return nbytes
+
+
+def varint_encode_slices(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Encode ONE array, return per-slice bytes for [bounds[i], bounds[i+1]).
+
+    LEB128 is self-delimiting, so slicing the single encoded buffer at
+    per-value byte offsets yields exactly what encoding each slice alone
+    would — one vectorized pass instead of a Python call per block (the
+    index-build hot path)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * (len(bounds) - 1)
+    buf = varint_encode(v)
+    byte_off = np.concatenate(([0], np.cumsum(varint_byte_lengths(v))))
+    return [bytes(buf[byte_off[s]:byte_off[e]])
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def delta_encode_blocked(doc_ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Delta-gap a docID array whose blocks restart at each `starts` index:
+    gap stream equals per-block delta_encode output, computed in one pass."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    if d.size == 0:
+        return d
+    out = np.empty_like(d)
+    out[0] = d[0]
+    out[1:] = d[1:] - d[:-1]
+    out[starts] = d[starts]  # each block's first value is absolute
+    return out
+
+
 def encode_block(
     doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray
 ) -> tuple[bytes, bytes, bytes]:

@@ -51,7 +51,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from liresolr_spark import BM25_B, BM25_K1, HASH_VERSION, INDEX_FORMAT_VERSION
-from liresolr_spark.functions.codec import encode_block
+from liresolr_spark.functions.codec import (
+    delta_encode_blocked,
+    varint_encode_slices,
+)
 from liresolr_spark.functions.tokenizer import hash_tokens_expr, tokenize_expr
 from liresolr_spark.sources.corpus import assign_doc_ids
 
@@ -119,31 +122,37 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         dls = pdf["doclen"].values[order].astype(np.float64)
         tf_f = tfs.astype(np.float64)
         norm = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
-        # composite group key (term, docID-range); monotonic in sort order,
-        # so np.unique boundaries give contiguous slices
+        # block boundary wherever the term or the aligned docID range changes
+        # (sorted by (term, docID), so blocks are contiguous slices; boundary
+        # test instead of a composite int key — term << 32 | range would
+        # overflow at 10^12 docIDs)
         rk = (doc_ids // np.uint64(block_size)).astype(np.int64)
-        key2 = (codes << np.int64(32)) | rk
-        _uniq, starts = np.unique(key2, return_index=True)
+        brk = (codes[1:] != codes[:-1]) | (rk[1:] != rk[:-1])
+        starts = np.flatnonzero(np.concatenate(([True], brk)))
         bounds = np.append(starts, len(doc_ids))
-        dls_u = dls.astype(np.uint64)
-        rows = []
-        for i in range(len(starts)):
-            s, e = bounds[i], bounds[i + 1]
-            d_bytes, t_bytes, l_bytes = encode_block(
-                doc_ids[s:e], tfs[s:e], dls_u[s:e])
-            rows.append(
-                (
-                    int(shard), field, str(terms_u[codes[s]]), int(rk[s]),
-                    int(e - s), int(doc_ids[s]), int(doc_ids[e - 1]),
-                    d_bytes, t_bytes, l_bytes, float(norm[s:e].max()),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=["shard", "field", "term", "block_seq", "count",
-                     "first_docid", "last_docid", "docids", "tfs", "doclens",
-                     "max_tf_norm"],
-        )
+        ends = bounds[1:] - 1
+
+        # whole-group vectorized encode: one numpy pass per stream, then
+        # self-delimiting LEB128 slices per block (no per-block Python codec)
+        d_slices = varint_encode_slices(
+            delta_encode_blocked(doc_ids, starts), bounds)
+        t_slices = varint_encode_slices(tfs, bounds)
+        l_slices = varint_encode_slices(dls.astype(np.uint64), bounds)
+        max_norm = np.maximum.reduceat(norm, starts)
+
+        return pd.DataFrame({
+            "shard": np.full(len(starts), int(shard), dtype=np.int32),
+            "field": field,
+            "term": np.asarray(terms_u)[codes[starts]],
+            "block_seq": rk[starts].astype(np.int32),
+            "count": (bounds[1:] - starts).astype(np.int32),
+            "first_docid": doc_ids[starts].astype(np.int64),
+            "last_docid": doc_ids[ends].astype(np.int64),
+            "docids": d_slices,
+            "tfs": t_slices,
+            "doclens": l_slices,
+            "max_tf_norm": max_norm,
+        })
 
     return build
 
@@ -236,17 +245,17 @@ def build_index(
     with stage("assign_doc_ids"):
         # Solr overwrite semantics, made deterministic: one winner per natural
         # key, chosen by content order (ref overwrite=true is last-write-wins,
-        # which is racy in the reference's parallel indexer).
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(*NATURAL_KEY).orderBy("content")
-        docs = (corpus.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-        docs = assign_doc_ids(docs, NATURAL_KEY)
+        # which is racy in the reference's parallel indexer). Dedup is fused
+        # into the range-sort pass — no separate window shuffle — and the
+        # ranged intermediate is cached so the count and id passes share it.
+        docs = assign_doc_ids(corpus, NATURAL_KEY, dedup=True, cache=True)
+        ranged_part = docs._lsr_cached_part
         docs = docs.withColumn("tokens", tokenize_expr(F.col("content")))
         docs = docs.withColumn("doclen", F.size("tokens"))
         docs.persist()
         n_docs = docs.count()
+        if ranged_part is not None:
+            ranged_part.unpersist()
 
     docs_per_shard = max(1, -(-n_docs // num_shards))  # ceil
     docs = docs.withColumn(

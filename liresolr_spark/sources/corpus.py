@@ -109,14 +109,27 @@ def synthetic_code_corpus(spark: SparkSession, n_rows: int, seed: int = 42,
 
 
 def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   dedup: bool = False,
+                   cache: bool = False) -> DataFrame:
     """Deterministic dense docID = global rank by natural key, WITHOUT a
     single-partition window (SURVEY §7.4.1: the scale-safe two-pass scheme).
 
-    1. repartitionByRange(keys) + sortWithinPartitions(keys): partitions are
-       contiguous ranges of the total order, each locally sorted.
+    1. repartitionByRange(keys) + sortWithinPartitions(keys [, content]):
+       partitions are contiguous ranges of the total order, locally sorted.
     2. Count rows per partition (one cheap job), compute cumulative offsets.
     3. docID = offset[partition] + local row number (mapInPandas, zero-copy).
+
+    dedup=True keeps one row per natural key — the lexicographically-least
+    `content` — WITHOUT a separate shuffle: equal keys are adjacent after
+    the range sort, so the winner falls out of the same pass (the
+    deterministic version of Solr overwrite=true semantics, ref:
+    scripts/add_histograms.py:40; the reference's last-write-wins is racy
+    in its parallel indexer).
+
+    cache=True persists the ranged/sorted intermediate so the count pass
+    and the id pass don't recompute the shuffle; the handle is exposed as
+    `._lsr_cached_part` on the result for the caller to unpersist.
 
     The result is independent of where range boundaries fall, so docIDs are
     stable across runs and cluster sizes — required for rank-identity and
@@ -128,12 +141,47 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
     num_partitions = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
+    sort_cols = keys + (["content"] if dedup else [])
     part = df.repartitionByRange(int(num_partitions), *[F.col(k) for k in keys]) \
-             .sortWithinPartitions(*keys)
-    sizes = (
-        part.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid").count().collect()
-    )
+             .sortWithinPartitions(*sort_cols)
+    if cache:
+        part = part.persist()
+
+    key_cols = list(keys)
+
+    def local_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sorted by (keys, content): first row per key = min content
+        return pdf.drop_duplicates(subset=key_cols, keep="first")
+
+    def consec_dedup_iter(pdf_iter):
+        """Consecutive dedup over the sorted partition stream; the cross-batch
+        guard makes the output independent of Arrow batch boundaries (so
+        docIDs don't depend on arrow.maxRecordsPerBatch)."""
+        last_key = None
+        for pdf in pdf_iter:
+            pdf = local_dedup(pdf)
+            if last_key is not None and len(pdf):
+                if tuple(pdf.iloc[0][key_cols]) == last_key:
+                    pdf = pdf.iloc[1:]
+            if len(pdf):
+                last_key = tuple(pdf.iloc[-1][key_cols])
+            yield pdf
+
+    if dedup:
+        def count_dedup(pdf_iter):
+            from pyspark import TaskContext
+
+            n = sum(len(pdf) for pdf in consec_dedup_iter(pdf_iter))
+            yield pd.DataFrame({"_pid": [TaskContext.get().partitionId()],
+                                "count": [n]})
+
+        sizes = part.mapInPandas(
+            count_dedup, schema="_pid int, count long").collect()
+    else:
+        sizes = (
+            part.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").count().collect()
+        )
     counts = {r["_pid"]: r["count"] for r in sizes}
     offsets = {}
     acc = 0
@@ -150,13 +198,16 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
         pid = TaskContext.get().partitionId()
         base = b_offsets.value.get(pid, 0)
         seen = 0
-        for pdf in pdf_iter:
+        stream = consec_dedup_iter(pdf_iter) if dedup else pdf_iter
+        for pdf in stream:
             pdf = pdf.copy()
             pdf["docID"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             yield pdf
 
-    return part.mapInPandas(add_ids, schema=out_schema)
+    out = part.mapInPandas(add_ids, schema=out_schema)
+    out._lsr_cached_part = part if cache else None
+    return out
 
 
 def load_corpus(spark: SparkSession, path: str) -> DataFrame:

@@ -62,6 +62,34 @@ def test_block_roundtrip_property(ids):
     assert np.array_equal(dls2, dls)
 
 
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_grouped_encode_matches_per_block(ids, nblocks):
+    """varint_encode_slices + delta_encode_blocked over a whole group must
+    produce byte-identical output to encode_block per block (the build
+    kernel's vectorized fast path vs the spec)."""
+    from liresolr_spark.functions.codec import (
+        delta_encode_blocked,
+        varint_encode_slices,
+    )
+
+    doc_ids = np.array(sorted(ids), dtype=np.uint64)
+    tfs = (doc_ids % np.uint64(37)) + np.uint64(1)
+    dls = (doc_ids % np.uint64(991)) + np.uint64(1)
+    cuts = np.unique(
+        np.linspace(0, len(doc_ids), nblocks + 1, dtype=np.int64))
+    starts = cuts[:-1]
+    d_s = varint_encode_slices(delta_encode_blocked(doc_ids, starts), cuts)
+    t_s = varint_encode_slices(tfs, cuts)
+    l_s = varint_encode_slices(dls, cuts)
+    for i, (s, e) in enumerate(zip(cuts[:-1], cuts[1:])):
+        d, t, l = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
+        assert d_s[i] == d and t_s[i] == t and l_s[i] == l
+
+
 def test_delta_adjacent_and_singleton():
     for ids in ([5], [7, 8, 9], [0, 1], [10, 1000000000]):
         a = np.array(ids, dtype=np.uint64)
