@@ -21,8 +21,9 @@ Everything is DataFrame/Arrow-vectorized; no per-row Python anywhere.
 # (ref: LireRequestHandler.java:68-74,409 "hash functions must match").
 HASH_VERSION = 1
 # bumped whenever the on-disk block layout changes (v2: doclens varint
-# stream denormalized into every posting block)
-INDEX_FORMAT_VERSION = 2
+# stream denormalized into every posting block; v3: per-block (max_tf,
+# min_dl) avgdl-independent WAND bounds + append-segment support)
+INDEX_FORMAT_VERSION = 3
 
 # Lucene 4.10 BM25 defaults (ref: SimilarRequestHandler.java:98 `new BM25Similarity()`).
 BM25_K1 = 1.2

@@ -484,10 +484,10 @@ WITH sh AS (
   FROM (SELECT doc_id, {TOK} AS l FROM documents WHERE doc_id < 100)
 )
 SELECT doc_id AS id,
-       list_min([md5('0:' || s) for s in sh]) AS mh0,
-       list_min([md5('1:' || s) for s in sh]) AS mh1,
-       list_min([md5('2:' || s) for s in sh]) AS mh2,
-       list_min([md5('3:' || s) for s in sh]) AS mh3
+       CASE WHEN len(sh) > 0 THEN list_min([substr(md5('h0:' || s), 1, 8) for s in sh]) END AS mh0,
+       CASE WHEN len(sh) > 0 THEN list_min([substr(md5('h0:' || s), 9, 8) for s in sh]) END AS mh1,
+       CASE WHEN len(sh) > 0 THEN list_min([substr(md5('h0:' || s), 17, 8) for s in sh]) END AS mh2,
+       CASE WHEN len(sh) > 0 THEN list_min([substr(md5('h0:' || s), 25, 8) for s in sh]) END AS mh3
 FROM sh ORDER BY id
 """,
 )
@@ -508,10 +508,10 @@ WITH sh AS (
 ),
 sig AS (
   SELECT doc_id,
-         list_min([md5('0:' || s) for s in sh]) AS mh0,
-         list_min([md5('1:' || s) for s in sh]) AS mh1,
-         list_min([md5('2:' || s) for s in sh]) AS mh2,
-         list_min([md5('3:' || s) for s in sh]) AS mh3
+         list_min([substr(md5('h0:' || s), 1, 8) for s in sh]) AS mh0,
+         list_min([substr(md5('h0:' || s), 9, 8) for s in sh]) AS mh1,
+         list_min([substr(md5('h0:' || s), 17, 8) for s in sh]) AS mh2,
+         list_min([substr(md5('h0:' || s), 25, 8) for s in sh]) AS mh3
   FROM sh WHERE len(sh) > 0
 ),
 bands AS (
@@ -853,6 +853,59 @@ def w01(spark, sf_dir):
         )
         build_index(corpus, idx, num_shards=8, block_size=128,
                     with_hash_tokens=False)
+    hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
+    stats = spark.read.parquet(f"{idx}/docstats").select(
+        "docID", F.col("path").cast("long").alias("doc_id"))
+    return (
+        hits.join(stats, "docID")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
+@_reg("s01_incremental_append", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
+def s01(spark, sf_dir):
+    """Incremental segment append (the streaming-refresh path, SURVEY §2.8):
+    the documents table is split in half by doc_id parity, the first half is
+    built as a fresh index and the second half appended as new segments
+    (docIDs continue, dictionary fragments merge, global N/avgdl/df update).
+    The appended index must answer the SAME BM25 oracle as a full build —
+    proven here through the driver's DuckDB gate.
+
+    Ref analog: Solr commitWithin near-real-time appends
+    (scripts/add_histograms.py:40) on Lucene's segment model.
+    """
+    import hashlib as _h
+    import os as _os
+
+    from liresolr_spark import INDEX_FORMAT_VERSION
+    from liresolr_spark.functions.tokenizer import py_tokenize as _pt
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import read_meta
+    from liresolr_spark.ship import ship_package
+    from liresolr_spark.streaming.ingest import append_segment
+
+    ship_package(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/liresolr_entry_appendix_{tag}"
+    stale = (not _os.path.exists(f"{idx}/meta.json")
+             or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
+    if stale:
+        import shutil as _sh
+
+        _sh.rmtree(idx, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        corpus = docs.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.md5("text").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        append_segment(corpus.filter(F.col("path").cast("long") % 2 == 0),
+                       idx, epoch_id=0, num_shards=4, block_size=128)
+        append_segment(corpus.filter(F.col("path").cast("long") % 2 == 1),
+                       idx, epoch_id=1)
     hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
     stats = spark.read.parquet(f"{idx}/docstats").select(
         "docID", F.col("path").cast("long").alias("doc_id"))

@@ -44,6 +44,7 @@ from pyspark.sql import Column
 ACRONYM_RE = r"([A-Z]+)([A-Z][a-z])"
 CAMEL_RE = r"([a-z0-9])([A-Z])"
 SPLIT_RE = r"[^a-z0-9]+"
+TOKEN_RE = r"[a-z0-9]+"  # extracting these runs == split on SPLIT_RE + drop empties
 
 
 # ---------------------------------------------------------------------------
@@ -51,13 +52,17 @@ SPLIT_RE = r"[^a-z0-9]+"
 # ---------------------------------------------------------------------------
 
 def tokenize_expr(col: Column | str) -> Column:
-    """array<string> of lexical tokens; pure built-ins, no UDF."""
+    """array<string> of lexical tokens; pure built-ins, no UDF.
+
+    regexp_extract_all of TOKEN_RE in ONE pass, rather than split(SPLIT_RE)
+    + filter(!= ''): identical output, but array higher-order functions are
+    interpreted CodegenFallback — filtering 10^8 array elements per batch
+    was the single hottest spot of the index build."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, ACRONYM_RE, r"$1 $2")
     c = F.regexp_replace(c, CAMEL_RE, r"$1 $2")
     c = F.lower(c)
-    toks = F.split(c, SPLIT_RE)
-    return F.filter(toks, lambda t: t != F.lit(""))
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
 
 
 def hash_tokens_expr(tokens_col: Column, hex_chars: int = 8) -> Column:
@@ -92,11 +97,11 @@ def murmur_hash_tokens_expr(tokens_col: Column) -> Column:
 def tokenize_sql_duckdb(expr: str) -> str:
     """DuckDB SQL producing the same token list (use with unnest(...))."""
     return (
-        "list_filter(string_split_regex(lower("
+        "regexp_extract_all(lower("
         f"regexp_replace(regexp_replace({expr}, "
         r"'([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), "
         r"'([a-z0-9])([A-Z])', '\1 \2', 'g')"
-        f"), '{SPLIT_RE}'), t -> t <> '')"
+        f"), '{TOKEN_RE}')"
     )
 
 
@@ -111,12 +116,13 @@ def hash_token_sql_duckdb(tok_expr: str, hex_chars: int = 8) -> str:
 _ACRO = re.compile(ACRONYM_RE)
 _CAMEL = re.compile(CAMEL_RE)
 _SPLIT = re.compile(SPLIT_RE)
+_TOKEN = re.compile(TOKEN_RE)
 
 
 def py_tokenize(s: str) -> list[str]:
     s = _ACRO.sub(r"\1 \2", s)
     s = _CAMEL.sub(r"\1 \2", s)
-    return [t for t in _SPLIT.split(s.lower()) if t]
+    return _TOKEN.findall(s.lower())
 
 
 def py_hash_token(tok: str, hex_chars: int = 8) -> str:

@@ -169,7 +169,7 @@ def bm25_topk_from_index(
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     dstats = (
         dictionary.filter((F.col("field") == field) & F.col("term").isin(terms))
-        .select("term", "df").collect()
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
     )
     idf = {
         r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]] for r in dstats

@@ -55,7 +55,15 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
         terms = blocks["term"].values
         seqs = blocks["block_seq"].values.astype(np.int64)
         w = np.array([idf[t] for t in terms], dtype=np.float64)
-        ub_contrib = w * blocks["max_tf_norm"].values.astype(np.float64)
+        # avgdl-independent block bound: tf_norm is increasing in tf,
+        # decreasing in dl, so tf_norm(max_tf, min_dl) >= every posting's
+        # contribution — stays a valid upper bound after segment appends
+        # shift the global avgdl (stored max_tf_norm is exact only for the
+        # segment's build-time avgdl)
+        mtf = blocks["max_tf"].values.astype(np.float64)
+        mdl = blocks["min_dl"].values.astype(np.float64)
+        ub_contrib = w * mtf * (k1 + 1.0) / (
+            mtf + k1 * (1.0 - b + b * mdl / avgdl))
 
         # UB per aligned range
         uniq_seq, inv = np.unique(seqs, return_inverse=True)
@@ -117,10 +125,12 @@ def wand_topk(
     meta = read_meta(index_dir)
     qrows = _query_terms_df(spark, query_terms).collect()
     qtf = {r["term"]: r["qtf"] for r in qrows}
+    # sum df across dictionary files: appended segments each contribute one
+    # dictionary fragment (the Lucene multi-segment term-dictionary merge)
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     dstats = (
         dictionary.filter((F.col("field") == field) & F.col("term").isin(list(qtf)))
-        .select("term", "df").collect()
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
     )
     idf = {r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]]
            for r in dstats}
@@ -131,7 +141,7 @@ def wand_topk(
     blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
         (F.col("field") == field) & F.col("term").isin(list(idf))
     ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
-             "max_tf_norm")
+             "max_tf", "min_dl")
 
     kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl, meta.block_size)
     per_shard = blocks.groupBy("shard").applyInPandas(

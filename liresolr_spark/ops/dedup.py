@@ -34,13 +34,20 @@ def shingles_expr(tokens_col: Column, n: int = 3) -> Column:
 
 
 def minhash_expr(shingles_col: Column, perm: int) -> Column:
-    """MinHash for permutation `perm`: min over shingles of md5('{perm}:'||s).
-
-    String-min over hex md5 is a valid uniform hash ordering and is
-    computable identically in Spark, DuckDB and Python."""
+    """MinHash for permutation `perm`: min over shingles of an md5-derived
+    32-bit lane (see `minhash_lane_structs`). Kept for one-off use; the
+    signature builder uses the lane-grouped form so each shingle is md5'd
+    once per GROUP of 4 permutations, not once per permutation."""
+    group, lane = divmod(perm, 4)
     return F.array_min(
-        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s)))
+        F.transform(
+            shingles_col,
+            lambda s: F.substring(
+                F.md5(F.concat(F.lit(f"h{group}:"), s)), lane * 8 + 1, 8),
+        )
     )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -63,12 +70,37 @@ def minhash_signatures(
     num_hashes: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature, wide format (mh0..mh{k-1}). Docs shorter
-    than shingle_n tokens get NULL signatures (no shingles)."""
+    than shingle_n tokens get NULL signatures (no shingles).
+
+    Permutation family: md5 is 128 bits, so each digest md5('h{g}:'||s)
+    yields four independent 32-bit lanes (8 hex chars) — num_hashes
+    permutations cost ceil(num_hashes/4) digests per shingle, not
+    num_hashes. String-min over fixed-width lowercase hex is a valid
+    uniform hash ordering, computable identically in Spark, DuckDB and
+    Python (the DuckDB oracle mirrors this construction).
+
+    Plan shape: explode shingles -> codegen'd Project computing the digests
+    (one md5 per group; subexpression elimination shares it across lanes —
+    deliberately NOT array higher-order functions, which are interpreted
+    CodegenFallback and excluded from CSE) -> hash-aggregate min per lane
+    (partial map-side combine, so the shuffle is one row per doc per
+    partition) -> left join restores shingle-less docs as NULL."""
     toks = df.select(
         F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks"))
-    sh = toks.select("id", shingles_expr(F.col("toks"), shingle_n).alias("sh"))
-    cols = [minhash_expr(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
-    return sh.select("id", *cols)
+    sh_rows = toks.select(
+        "id", F.explode(shingles_expr(F.col("toks"), shingle_n)).alias("s"))
+    n_groups = -(-num_hashes // 4)
+    digest_cols = [
+        F.md5(F.concat(F.lit(f"h{g}:"), F.col("s"))).alias(f"d{g}")
+        for g in range(n_groups)
+    ]
+    lanes = sh_rows.select("id", *digest_cols)
+    aggs = [
+        F.min(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = lanes.groupBy("id").agg(*aggs)
+    return toks.select("id").join(sig, "id", "left")
 
 
 def lsh_candidate_pairs(

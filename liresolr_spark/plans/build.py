@@ -61,7 +61,7 @@ from liresolr_spark.sources.corpus import assign_doc_ids
 BLOCK_SCHEMA = (
     "shard int, field string, term string, block_seq int, count int, "
     "first_docid long, last_docid long, docids binary, tfs binary, "
-    "doclens binary, max_tf_norm double"
+    "doclens binary, max_tf_norm double, max_tf long, min_dl long"
 )
 
 NATURAL_KEY = ["repo", "path", "commit"]
@@ -78,6 +78,7 @@ class IndexMeta:
     k1: float
     b: float
     format_version: int = 1  # pre-doclens indexes carry no key -> 1
+    total_doclen: float = 0.0  # sum of doclens; lets appends update avgdl
 
 
 def _paths(index_dir: str) -> dict:
@@ -139,6 +140,14 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         t_slices = varint_encode_slices(tfs, bounds)
         l_slices = varint_encode_slices(dls.astype(np.uint64), bounds)
         max_norm = np.maximum.reduceat(norm, starts)
+        # avgdl-independent bound inputs: tf_norm is increasing in tf and
+        # decreasing in dl, so (max_tf, min_dl) bounds every posting's
+        # contribution under ANY query-time avgdl — required once segments
+        # can be appended after the initial build (avgdl drifts, so the
+        # stored max_tf_norm — exact for the build-time avgdl — would be
+        # unsafe to prune with)
+        max_tf = np.maximum.reduceat(tfs, starts).astype(np.int64)
+        min_dl = np.minimum.reduceat(dls, starts).astype(np.int64)
 
         return pd.DataFrame({
             "shard": np.full(len(starts), int(shard), dtype=np.int32),
@@ -152,6 +161,8 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
             "tfs": t_slices,
             "doclens": l_slices,
             "max_tf_norm": max_norm,
+            "max_tf": max_tf,
+            "min_dl": min_dl,
         })
 
     return build
@@ -261,7 +272,8 @@ def build_index(
     docs = docs.withColumn(
         "shard", (F.col("docID") / F.lit(docs_per_shard)).cast("int")
     )
-    avgdl = float(docs.agg(F.avg("doclen")).first()[0] or 0.0)
+    total_doclen = float(docs.agg(F.sum("doclen")).first()[0] or 0.0)
+    avgdl = total_doclen / n_docs if n_docs else 0.0
 
     all_shards = list(range(num_shards))
     todo = [s for s in all_shards if s not in done_shards]
@@ -334,6 +346,7 @@ def build_index(
             docs_per_shard=docs_per_shard, block_size=block_size,
             hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
             format_version=INDEX_FORMAT_VERSION,
+            total_doclen=total_doclen,
         )
         with open(p["meta"], "w") as f:
             json.dump(asdict(meta), f)

@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode executor == driver JVM: size the heap for cached
+        # corpus/token columns + 32 concurrent task threads (8g thrashes GC
+        # and flattens core scaling); the sandbox box has 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

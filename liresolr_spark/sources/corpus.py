@@ -167,46 +167,48 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
                 last_key = tuple(pdf.iloc[-1][key_cols])
             yield pdf
 
-    if dedup:
-        def count_dedup(pdf_iter):
-            from pyspark import TaskContext
+    # ONE Python pass: dedup (if asked) + tag (partition id, local rank).
+    # The global offset is added afterwards as a pure JVM projection, so the
+    # per-partition count job and the final id job share this pass's output
+    # (cache=True) instead of each paying an Arrow round-trip of the corpus.
+    tag_schema = StructType(
+        part.schema.fields
+        + [StructField("_pid", LongType(), False),
+           StructField("_lrn", LongType(), False)]
+    )
 
-            n = sum(len(pdf) for pdf in consec_dedup_iter(pdf_iter))
-            yield pd.DataFrame({"_pid": [TaskContext.get().partitionId()],
-                                "count": [n]})
-
-        sizes = part.mapInPandas(
-            count_dedup, schema="_pid int, count long").collect()
-    else:
-        sizes = (
-            part.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid").count().collect()
-        )
-    counts = {r["_pid"]: r["count"] for r in sizes}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    out_schema = StructType(part.schema.fields + [StructField("docID", LongType(), False)])
-
-    def add_ids(pdf_iter):
+    def tag(pdf_iter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        base = b_offsets.value.get(pid, 0)
         seen = 0
         stream = consec_dedup_iter(pdf_iter) if dedup else pdf_iter
         for pdf in stream:
             pdf = pdf.copy()
-            pdf["docID"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            pdf["_pid"] = np.int64(pid)
+            pdf["_lrn"] = np.arange(seen, seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             yield pdf
 
-    out = part.mapInPandas(add_ids, schema=out_schema)
-    out._lsr_cached_part = part if cache else None
+    local = part.mapInPandas(tag, tag_schema)
+    if cache:
+        local = local.persist()
+    sizes = local.groupBy("_pid").count().collect()
+    counts = {int(r["_pid"]): r["count"] for r in sizes}
+    acc = 0
+    offset_pairs = []
+    for pid in sorted(counts):
+        offset_pairs.extend([F.lit(pid), F.lit(acc)])
+        acc += counts[pid]
+    base = F.coalesce(
+        F.create_map(*offset_pairs)[F.col("_pid")] if offset_pairs else F.lit(0),
+        F.lit(0),
+    )
+    out = (
+        local.withColumn("docID", (base + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn")
+    )
+    out._lsr_cached_part = local if cache else None
     return out
 
 

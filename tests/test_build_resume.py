@@ -28,7 +28,7 @@ def _fingerprint(spark, index_dir: str):
                 F.md5(F.base64("docids")).alias("d"),
                 F.md5(F.base64("tfs")).alias("t"),
                 F.md5(F.base64("doclens")).alias("l"),
-                "max_tf_norm")
+                "max_tf_norm", "max_tf", "min_dl")
         .orderBy("shard", "field", "term", "block_seq")
         .collect()
     )

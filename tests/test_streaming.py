@@ -1,0 +1,102 @@
+"""Incremental/streaming index refresh (SURVEY §2.8): segment append through
+Structured Streaming must leave the index rank-identical to the brute-force
+oracle over the UNION corpus with updated global stats (N, avgdl, df), and
+batch retries must be idempotent.
+
+Analog of Solr near-real-time commitWithin (ref: scripts/add_histograms.py:40)
+on Lucene's segment model.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from liresolr_spark.functions.tokenizer import py_tokenize
+from liresolr_spark.operators.bm25 import bm25_topk_from_index
+from liresolr_spark.operators.wand import wand_topk
+from liresolr_spark.oracle import brute_force_topk
+from liresolr_spark.plans.build import read_meta
+from liresolr_spark.streaming.ingest import append_segment, incremental_index
+
+QUERIES = ["readFile bufPack", "import return", "zzz_nothing",
+           "dataNode hash_map sortMerge"]
+
+
+@pytest.fixture(scope="module")
+def streamed_index(spark, tmp_path_factory):
+    from liresolr_spark.sources.corpus import synthetic_code_corpus
+
+    base = tmp_path_factory.mktemp("stream")
+    stream_in = str(base / "in")
+    idx = str(base / "idx")
+    cp = str(base / "cp")
+
+    corpus = (synthetic_code_corpus(spark, 300, seed=7, partitions=4)
+              .dropDuplicates(["repo", "path", "commit"]))
+    corpus.persist()
+    b1 = corpus.filter(F.abs(F.hash("repo", "path", "commit")) % 2 == 0)
+    b2 = corpus.filter(F.abs(F.hash("repo", "path", "commit")) % 2 == 1)
+
+    b1.write.parquet(stream_in)
+    incremental_index(spark, stream_in, idx, cp,
+                      num_shards=4, block_size=64)
+    n1 = read_meta(idx).n_docs
+    assert n1 == b1.count()
+
+    b2.write.mode("append").parquet(stream_in)
+    incremental_index(spark, stream_in, idx, cp,
+                      num_shards=4, block_size=64)
+    return idx, corpus, n1, stream_in, cp
+
+
+def test_appended_index_global_stats(spark, streamed_index):
+    idx, corpus, n1, _in, _cp = streamed_index
+    meta = read_meta(idx)
+    assert meta.n_docs == corpus.count() > n1
+    stats = spark.read.parquet(f"{idx}/docstats")
+    assert stats.count() == meta.n_docs
+    assert stats.select("docID").distinct().count() == meta.n_docs
+    got_avg = stats.agg(F.avg("doclen")).first()[0]
+    assert abs(got_avg - meta.avgdl) < 1e-6
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_appended_index_rank_identity(spark, streamed_index, query):
+    idx, corpus, _n1, _in, _cp = streamed_index
+    stats = spark.read.parquet(f"{idx}/docstats").select(
+        "docID", "repo", "path", "commit")
+    joined = stats.join(corpus, ["repo", "path", "commit"]).select(
+        "docID", "content").collect()
+    docs_local = [(r["docID"], r["content"]) for r in joined]
+    assert len(docs_local) == read_meta(idx).n_docs
+
+    want = brute_force_topk(docs_local, query, k=20)
+    for path_fn in (wand_topk, bm25_topk_from_index):
+        got = [(r["docID"], r["score"])
+               for r in path_fn(spark, idx, py_tokenize(query), k=20).collect()]
+        assert len(got) == len(want), (path_fn.__name__, query)
+        for (gid, gs), (wid, ws) in zip(got, want):
+            assert gid == wid, (path_fn.__name__, query, got, want)
+            assert abs(gs - ws) < 1e-9 * max(1.0, abs(ws))
+
+
+def test_stream_restart_is_idempotent(spark, streamed_index):
+    idx, _corpus, _n1, stream_in, cp = streamed_index
+    before = read_meta(idx).n_docs
+    # re-run with no new files: checkpoint says everything is committed
+    incremental_index(spark, stream_in, idx, cp, num_shards=4, block_size=64)
+    assert read_meta(idx).n_docs == before
+
+
+def test_epoch_retry_skipped(spark, streamed_index):
+    idx, corpus, _n1, _in, _cp = streamed_index
+    with open(f"{idx}/epochs.json") as f:
+        applied = json.load(f)
+    some_batch = corpus.limit(10)
+    out = append_segment(some_batch, idx, epoch_id=applied[-1])
+    assert out == {"skipped_epoch": applied[-1]}
+    assert read_meta(idx).n_docs == spark.read.parquet(
+        f"{idx}/docstats").count()

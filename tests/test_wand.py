@@ -88,3 +88,9 @@ def test_block_max_is_upper_bound(spark, indexed):
         dl = dls.astype(float)
         norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         assert norm.max() <= r["max_tf_norm"] + 1e-12
+        # the avgdl-independent bound inputs (what WAND actually prunes
+        # with): exact per-block maxima/minima of the raw streams
+        assert tf.max() == r["max_tf"] and dl.min() == r["min_dl"]
+        mtf, mdl = float(r["max_tf"]), float(r["min_dl"])
+        ub = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+        assert norm.max() <= ub + 1e-12

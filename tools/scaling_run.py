@@ -1,0 +1,147 @@
+"""Scaling-efficiency evidence (north_rule: throughput scaling efficiency
+>= 0.8 from N to 4N executors).
+
+This sandbox has no real cluster, so the sanctioned stand-in is: run the
+IDENTICAL job on the IDENTICAL input at local[8] and local[32] (N and 4N
+cores), report throughput at both and the strong-scaling efficiency
+
+    eff = throughput(4N) / (4 * throughput(N))
+
+Each parallelism level runs in its own subprocess (fresh JVM — a Spark
+master is fixed per session), with shuffle partitions scaled to cores, the
+spark-submit --py-files analog applied via ship_package. Timed: (a) the
+index build over a pre-generated corpus parquet (files/sec), (b) a batch of
+block-max WAND queries over the just-built index (queries/sec).
+
+Usage:
+  python tools/scaling_run.py [--rows 20000] [--json-out SCALING.json]
+  python tools/scaling_run.py --child 8 --rows 20000   (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_BATCH = [
+    "readFile bufPack",
+    "import return",
+    "dataNode hash_map sortMerge query",
+    "parseToken blockChunk",
+    "open close send recv",
+    "keyVal indexQuery",
+    "merge scan join find",
+    "emit token block chunk",
+    "user time count batch",
+    "strBuf rowCol",
+]
+
+
+def child(cores: int, rows: int) -> None:
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    sys.path.insert(0, REPO)
+    from liresolr_spark.functions.tokenizer import py_tokenize
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import build_index
+    from liresolr_spark.session import get_spark
+    from liresolr_spark.ship import ship_package
+    from liresolr_spark.sources.corpus import synthetic_code_corpus
+
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    ship_package(spark)
+
+    corpus_path = f"/tmp/liresolr_scaling_corpus_{rows}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        synthetic_code_corpus(spark, rows, seed=42).write.mode(
+            "overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    corpus.count()  # warm the scan; generation/JVM spin-up is not the job
+
+    idx = f"/tmp/liresolr_scaling_index_{rows}_{cores}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    metrics = build_index(corpus, idx, num_shards=32, block_size=128)
+    build_sec = time.time() - t0
+
+    # warm-up query (Python-worker startup), then the timed batch.
+    # Queries run CONCURRENTLY (thread pool -> overlapping Spark jobs): the
+    # serving-throughput model is many clients in flight, like the
+    # reference's thread-per-request Solr handlers — a single k=60 query on
+    # a small index can't saturate 32 cores by itself.
+    wand_topk(spark, idx, py_tokenize(QUERY_BATCH[0]), k=60).collect()
+
+    def run_one(q):
+        wand_topk(spark, idx, py_tokenize(q), k=60).collect()
+
+    batch = QUERY_BATCH * 3
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run_one, batch))
+    query_sec = time.time() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "rows": metrics["n_docs"],
+        "build_sec": round(build_sec, 3),
+        "files_per_sec": round(metrics["n_docs"] / build_sec, 2),
+        "query_batch_sec": round(query_sec, 3),
+        "queries_per_sec": round(len(QUERY_BATCH) * 3 / query_sec, 3),
+    }))
+    spark.stop()
+
+
+def run_level(cores: int, rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--child", str(cores), "--rows", str(rows)],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALING_ROWS",
+                                               "20000")))
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        child(args.child, args.rows)
+        return
+
+    lo = run_level(8, args.rows)
+    hi = run_level(32, args.rows)
+    factor = hi["cores"] / lo["cores"]
+    result = {
+        "rows": lo["rows"],
+        "levels": [lo, hi],
+        "build_scaling_efficiency": round(
+            hi["files_per_sec"] / (factor * lo["files_per_sec"]), 3),
+        "query_scaling_efficiency": round(
+            hi["queries_per_sec"] / (factor * lo["queries_per_sec"]), 3),
+        "build_speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 2),
+        "query_speedup": round(
+            hi["queries_per_sec"] / lo["queries_per_sec"], 2),
+    }
+    print(json.dumps(result))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
