@@ -77,8 +77,9 @@ def main() -> None:
     # ---- registry queries (oracle-checked workload) --------------------------
     bench_set = [
         "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",
-        "q09_pagination", "d01_exact_dedup", "d03_minhash_lsh_pairs",
-        "d04_simhash", "e01_ann_cosine_topk", "e03_embedding_neardup",
+        "q09_pagination", "q13_candidate_union", "d01_exact_dedup",
+        "d03_minhash_lsh_pairs", "d04_simhash", "e01_ann_cosine_topk",
+        "e03_embedding_neardup", "e04_band_join_neardup", "t01_language_id",
         "t03_token_counts", "t04_fingerprints", "r01_pricing_summary",
         "r02_top_customers", "m01_media_features",
     ]
@@ -87,6 +88,13 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # scaling-efficiency evidence (tools/scaling_run.py writes SCALING.json;
+    # see BASELINE.md — the local[8]-vs-local[32] stand-in for N vs 4N)
+    scaling_path = os.path.join(repo, "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extras["scaling"] = json.load(f)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -682,6 +682,73 @@ def e03(spark, sf_dir):
     return neardup_pairs(emb, 0.25).orderBy("id_a", "id_b")
 
 
+@_reg(
+    "e04_band_join_neardup",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id < 400
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(abs(a.nrm - b.nrm), 4) AS norm_gap,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND abs(a.nrm - b.nrm) < 0.05
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2
+ORDER BY id_a, id_b
+""",
+)
+def e04(spark, sf_dir):
+    """Band join (J3): |norm_a - norm_b| < eps prune as a bucketized
+    equi-join, then exact cosine — the relational form of the reference's
+    sorted +/-0.05 band prune (SurfUtils.java:25-62)."""
+    from liresolr_spark.ops.similarity import band_join_pairs
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
+    return band_join_pairs(emb, eps=0.05, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@_reg(
+    "q13_candidate_union",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+pool_a AS (
+  SELECT doc_id, count(DISTINCT term) AS overlap
+  FROM tok WHERE term IN ('read', 'file', 'buf', 'pack')
+  GROUP BY doc_id ORDER BY overlap DESC, doc_id LIMIT 10
+),
+pool_b AS (
+  SELECT doc_id, count(DISTINCT term) AS overlap
+  FROM tok WHERE term IN ('data', 'node', 'hash', 'map')
+  GROUP BY doc_id ORDER BY overlap DESC, doc_id LIMIT 30
+)
+SELECT doc_id FROM (
+  SELECT doc_id FROM pool_a UNION SELECT doc_id FROM pool_b
+) ORDER BY doc_id
+""",
+)
+def q13(spark, sf_dir):
+    """Candidate-pool union + dedupe (J4/U1): two retrieval pools merged
+    into one re-rank set, the CL ∪ SURF candidate merge of
+    SimilarRequestHandler.java:194-205 with deterministic top-n per pool."""
+    docs = _docs(spark, sf_dir)
+    posting = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+
+    def pool(terms, n):
+        qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        return (
+            posting.join(broadcast(qdf), "term")
+            .groupBy("doc_id").agg(F.countDistinct("term").alias("overlap"))
+            .orderBy(F.desc("overlap"), F.asc("doc_id")).limit(n)
+            .select("doc_id")
+        )
+
+    a = pool(["read", "file", "buf", "pack"], 10)
+    b = pool(["data", "node", "hash", "map"], 30)
+    return a.unionByName(b).dropDuplicates(["doc_id"]).orderBy("doc_id")
+
+
 # ---- text analysis ----------------------------------------------------------
 
 @_reg(

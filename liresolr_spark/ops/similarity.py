@@ -81,6 +81,46 @@ def lsh_bucket_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def band_join_pairs(
+    emb: DataFrame, eps: float, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Band join: candidate pairs whose L2 norms differ by < eps, then exact
+    cosine threshold — the relational re-expression of the reference's
+    sorted-prune point matching (SurfUtils.java:25-62: sort by ||p-1||,
+    binary-search a +/-0.05 band, exact distance inside the band).
+
+    Scale shape: the band predicate |n_a - n_b| < eps becomes an EQUI-join
+    on bucket = floor(norm/eps), with one side exploded to its three
+    adjacent buckets — a banded theta-join as a shuffle-bounded hash join,
+    never a cross join. Each qualifying pair matches exactly once (the
+    right side keeps its single home bucket)."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    e = e.withColumn("bucket", F.floor(F.col("nrm") / F.lit(eps)))
+    a = e.select(
+        F.col("id"), F.col("v"), F.col("nrm"),
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                          F.col("bucket") + 1)).alias("bucket"),
+    ).alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).filter(F.abs(F.col("a.nrm") - F.col("b.nrm")) < eps)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.abs(F.col("a.nrm") - F.col("b.nrm")), 4).alias("norm_gap"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def neardup_pairs(
     emb: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",

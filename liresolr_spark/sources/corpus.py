@@ -149,48 +149,58 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
 
     key_cols = list(keys)
 
-    def local_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sorted by (keys, content): first row per key = min content
-        return pdf.drop_duplicates(subset=key_cols, keep="first")
-
-    def consec_dedup_iter(pdf_iter):
-        """Consecutive dedup over the sorted partition stream; the cross-batch
-        guard makes the output independent of Arrow batch boundaries (so
-        docIDs don't depend on arrow.maxRecordsPerBatch)."""
-        last_key = None
-        for pdf in pdf_iter:
-            pdf = local_dedup(pdf)
-            if last_key is not None and len(pdf):
-                if tuple(pdf.iloc[0][key_cols]) == last_key:
-                    pdf = pdf.iloc[1:]
-            if len(pdf):
-                last_key = tuple(pdf.iloc[-1][key_cols])
-            yield pdf
-
-    # ONE Python pass: dedup (if asked) + tag (partition id, local rank).
-    # The global offset is added afterwards as a pure JVM projection, so the
-    # per-partition count job and the final id job share this pass's output
-    # (cache=True) instead of each paying an Arrow round-trip of the corpus.
+    # ONE Python pass: dedup (if asked) + tag (partition id, local rank),
+    # via mapInArrow — the wide `content` column stays in Arrow buffers
+    # end-to-end (zero-copy); only the small key columns are materialized
+    # for the consecutive-dedup comparison. mapInPandas here would convert
+    # ~GBs of strings to Python objects and back for logic that never reads
+    # them. The cross-batch guard keeps the output independent of Arrow
+    # batch boundaries (docIDs must not depend on maxRecordsPerBatch).
+    # The global offset is added afterwards as a pure JVM projection, so
+    # the per-partition count job and the final id job share this pass's
+    # output (cache=True).
     tag_schema = StructType(
         part.schema.fields
         + [StructField("_pid", LongType(), False),
            StructField("_lrn", LongType(), False)]
     )
+    names = [f.name for f in tag_schema.fields]
 
-    def tag(pdf_iter):
+    def tag(batch_iter):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seen = 0
-        stream = consec_dedup_iter(pdf_iter) if dedup else pdf_iter
-        for pdf in stream:
-            pdf = pdf.copy()
-            pdf["_pid"] = np.int64(pid)
-            pdf["_lrn"] = np.arange(seen, seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
+        last_key = None
+        for rb in batch_iter:
+            if dedup and rb.num_rows:
+                kcols = [rb.column(names.index(k)).to_pylist()
+                         for k in key_cols]
+                n = rb.num_rows
+                keep = np.ones(n, dtype=bool)
+                # row survives if ANY key column differs from its predecessor
+                differs = np.zeros(max(n - 1, 0), dtype=bool)
+                for c in kcols:
+                    arr = np.array(c, dtype=object)
+                    differs |= arr[1:] != arr[:-1]
+                keep[1:] = differs
+                first = tuple(c[0] for c in kcols)
+                if last_key is not None and first == last_key:
+                    keep[0] = False
+                last_key = tuple(c[-1] for c in kcols)
+                rb = rb.filter(pa.array(keep))
+            m = rb.num_rows
+            out = pa.RecordBatch.from_arrays(
+                list(rb.columns)
+                + [pa.array(np.full(m, pid, dtype=np.int64)),
+                   pa.array(np.arange(seen, seen + m, dtype=np.int64))],
+                names=names,
+            )
+            seen += m
+            yield out
 
-    local = part.mapInPandas(tag, tag_schema)
+    local = part.mapInArrow(tag, tag_schema)
     if cache:
         local = local.persist()
     sizes = local.groupBy("_pid").count().collect()
