@@ -98,7 +98,13 @@ def read_meta(index_dir: str) -> IndexMeta:
 
 
 def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
-    """applyInPandas kernel: one (shard, field, term) group -> encoded blocks.
+    """applyInArrow kernel: one (shard, field) group -> encoded blocks.
+
+    Arrow-native on purpose: the group holds millions of posting rows, and
+    applyInPandas would materialize every term as a Python object. Here the
+    term column is dictionary-encoded (pyarrow), so only the UNIQUE terms
+    (10^4-10^5) become Python strings; the posting rows themselves stay in
+    numpy from Arrow buffers end-to-end.
 
     Blocks are ALIGNED docID ranges: block_seq = docID // block_size, so the
     same block_seq covers the same docID interval for every term. Alignment
@@ -112,15 +118,29 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
     block = the upper bound (idf is applied at query time).
     """
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard, field = key
-        codes, terms_u = pd.factorize(pdf["term"], sort=True)
-        doc_ids = pdf["docID"].values.astype(np.int64)
+    def build(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        shard = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        field = key[1].as_py() if hasattr(key[1], "as_py") else key[1]
+        tbl = tbl.combine_chunks()
+        enc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        raw_codes = enc.indices.to_numpy().astype(np.int64)
+        dict_strings = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # dictionary order is first-appearance; remap codes to sorted-term
+        # order so the output (and block layout) is term-sorted
+        sort_perm = np.argsort(dict_strings)
+        rank = np.empty_like(sort_perm)
+        rank[sort_perm] = np.arange(len(sort_perm))
+        codes = rank[raw_codes]
+        terms_u = dict_strings[sort_perm]
+        doc_ids = tbl.column("docID").to_numpy().astype(np.int64)
         order = np.lexsort((doc_ids, codes))
-        codes = codes[order].astype(np.int64)
+        codes = codes[order]
         doc_ids = doc_ids[order].astype(np.uint64)
-        tfs = pdf["tf"].values[order].astype(np.uint64)
-        dls = pdf["doclen"].values[order].astype(np.float64)
+        tfs = tbl.column("tf").to_numpy()[order].astype(np.uint64)
+        dls = tbl.column("doclen").to_numpy()[order].astype(np.float64)
         tf_f = tfs.astype(np.float64)
         norm = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
         # block boundary wherever the term or the aligned docID range changes
@@ -149,21 +169,29 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         max_tf = np.maximum.reduceat(tfs, starts).astype(np.int64)
         min_dl = np.minimum.reduceat(dls, starts).astype(np.int64)
 
-        return pd.DataFrame({
-            "shard": np.full(len(starts), int(shard), dtype=np.int32),
-            "field": field,
-            "term": np.asarray(terms_u)[codes[starts]],
-            "block_seq": rk[starts].astype(np.int32),
-            "count": (bounds[1:] - starts).astype(np.int32),
-            "first_docid": doc_ids[starts].astype(np.int64),
-            "last_docid": doc_ids[ends].astype(np.int64),
-            "docids": d_slices,
-            "tfs": t_slices,
-            "doclens": l_slices,
-            "max_tf_norm": max_norm,
-            "max_tf": max_tf,
-            "min_dl": min_dl,
-        })
+        nblocks = len(starts)
+        return pa.table(
+            {
+                "shard": pa.array(np.full(nblocks, int(shard), dtype=np.int32),
+                                  type=pa.int32()),
+                "field": pa.array([field] * nblocks, type=pa.string()),
+                "term": pa.array(terms_u[codes[starts]], type=pa.string()),
+                "block_seq": pa.array(rk[starts].astype(np.int32),
+                                      type=pa.int32()),
+                "count": pa.array((bounds[1:] - starts).astype(np.int32),
+                                  type=pa.int32()),
+                "first_docid": pa.array(doc_ids[starts].astype(np.int64),
+                                        type=pa.int64()),
+                "last_docid": pa.array(doc_ids[ends].astype(np.int64),
+                                       type=pa.int64()),
+                "docids": pa.array(d_slices, type=pa.binary()),
+                "tfs": pa.array(t_slices, type=pa.binary()),
+                "doclens": pa.array(l_slices, type=pa.binary()),
+                "max_tf_norm": pa.array(max_norm, type=pa.float64()),
+                "max_tf": pa.array(max_tf, type=pa.int64()),
+                "min_dl": pa.array(min_dl, type=pa.int64()),
+            }
+        )
 
     return build
 
@@ -308,7 +336,7 @@ def build_index(
             # range), term-level grouping happens vectorized inside the
             # kernel. Grouping by (shard,field,term) instead would create
             # millions of tiny pandas groups (per-group overhead dominates).
-            blocks = tf.groupBy("shard", "field").applyInPandas(
+            blocks = tf.groupBy("shard", "field").applyInArrow(
                 builder, schema=BLOCK_SCHEMA
             )
             (blocks.sortWithinPartitions("field", "term", "block_seq")

@@ -142,7 +142,7 @@ def append_segment(
     tf = exploded.groupBy("shard", "field", "term", "docID").agg(
         F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
     builder = _block_builder(meta.block_size, BM25_K1, BM25_B, new_avgdl)
-    blocks = tf.groupBy("shard", "field").applyInPandas(
+    blocks = tf.groupBy("shard", "field").applyInArrow(
         builder, schema=BLOCK_SCHEMA)
     (blocks.sortWithinPartitions("field", "term", "block_seq")
      .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
