@@ -17,8 +17,8 @@ producer/consumer/XML/Solr pipeline, ref: ParallelSolrIndexer.java:124-182,
     -> shard = docID // docs_per_shard       # document-sharded layout =
                                              # Solr collection shards
                                              # (ref: AddImages.java:46)
-    -> groupBy(shard,field,term) applyInPandas -> delta-gap+varint blocks of
-       <=block_size docs with per-block max_tf_norm (block-max WAND bound)
+    -> groupBy(shard,field) applyInArrow -> delta-gap+varint blocks of
+       <=block_size docs with per-block (max_tf, min_dl) WAND bounds
     -> parquet partitioned by shard, sorted by (field,term) for row-group
        stat pruning
     + dictionary(field,term,df), meta.json (N, avgdl, versions), manifest

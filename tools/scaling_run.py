@@ -43,7 +43,7 @@ QUERY_BATCH = [
 ]
 
 
-def child(cores: int, rows: int) -> None:
+def child(cores: int, rows: int, num_shards: int = 32) -> None:
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -69,7 +69,7 @@ def child(cores: int, rows: int) -> None:
     idx = f"/tmp/liresolr_scaling_index_{rows}_{cores}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
-    metrics = build_index(corpus, idx, num_shards=32, block_size=128)
+    metrics = build_index(corpus, idx, num_shards=num_shards, block_size=128)
     build_sec = time.time() - t0
 
     # warm-up query (Python-worker startup), then the timed batch.
@@ -84,7 +84,7 @@ def child(cores: int, rows: int) -> None:
 
     batch = QUERY_BATCH * 3
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         list(pool.map(run_one, batch))
     query_sec = time.time() - t0
 
@@ -99,7 +99,8 @@ def child(cores: int, rows: int) -> None:
     spark.stop()
 
 
-def run_level(cores: int, rows: int, repeats: int = 2) -> dict:
+def run_level(cores: int, rows: int, shards: int = 32,
+              repeats: int = 2) -> dict:
     """Best-of-N child runs (fresh JVM each): the sandbox host shows
     multi-tens-of-seconds noise spikes, and min is the standard
     noise-robust estimator for fixed-work benchmarks.
@@ -113,7 +114,8 @@ def run_level(cores: int, rows: int, repeats: int = 2) -> dict:
     for _ in range(repeats):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--child", str(cores), "--rows", str(rows)],
+             "--child", str(cores), "--rows", str(rows),
+             "--shards", str(shards)],
             capture_output=True, text=True, check=True, env=env,
         )
         last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -132,14 +134,18 @@ def main() -> None:
                                                "20000")))
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
     args = ap.parse_args()
 
+    shards = args.shards or (64 if args.rows > 100000 else 32)
     if args.child is not None:
-        child(args.child, args.rows)
+        child(args.child, args.rows, shards)
         return
 
-    lo = run_level(8, args.rows)
-    hi = run_level(32, args.rows)
+    lo = run_level(args.lo, args.rows, shards)
+    hi = run_level(args.hi, args.rows, shards)
     factor = hi["cores"] / lo["cores"]
     result = {
         "rows": lo["rows"],
