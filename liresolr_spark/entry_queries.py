@@ -749,6 +749,55 @@ def q13(spark, sf_dir):
     return a.unionByName(b).dropDuplicates(["doc_id"]).orderBy("doc_id")
 
 
+_VOCAB_CACHE: dict = {}
+
+
+def _centroids(spark, sf_dir, k=8, seed=42):
+    key = (sf_dir, k, seed)
+    if key not in _VOCAB_CACHE:
+        from liresolr_spark.ops.vocab import train_visual_words
+
+        _VOCAB_CACHE[key] = train_visual_words(
+            _emb(spark, sf_dir), k=k, seed=seed)
+    return _VOCAB_CACHE[key]
+
+
+@_reg("v01_visual_words", None)
+def v01(spark, sf_dir):
+    """k-means visual-word vocabulary + assignment (SURVEY A8; ref:
+    SolrSurfFeatureHistogramBuilder.java:6-24, word mapping used at
+    SimilarRequestHandler.java:123-148). Rows-only check: k-means cluster
+    identities aren't SQL-expressible in the DuckDB oracle."""
+    from liresolr_spark.ops.vocab import assign_visual_words
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    centers = _centroids(spark, sf_dir)
+    words = assign_visual_words(_emb(spark, sf_dir), centers)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.avg("dist"), 4).alias("avg_dist"))
+        .orderBy("word")
+    )
+
+
+@_reg("e05_ivf_ann", None)
+def e05(spark, sf_dir):
+    """IVF ANN scale path: probe the 2 nearest of 8 k-means cells, exact
+    cosine inside (two-phase candidates->exact; the partition-prunable
+    variant of e02's sign-LSH). Rows-only: approximate by construction."""
+    from liresolr_spark.ops.vocab import ivf_topk
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    emb = _emb(spark, sf_dir)
+    centers = _centroids(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return ivf_topk(emb, centers, qvec, k=10, nprobe=2)
+
+
 # ---- text analysis ----------------------------------------------------------
 
 @_reg(
