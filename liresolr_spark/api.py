@@ -34,6 +34,17 @@ class LireQueryEngine:
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
         self.last_metrics: dict = {}
+        # serving caches: file listing + parquet footers resolved once; the
+        # dictionary (small) additionally pinned in memory — repeat queries
+        # then cost one job, the Solr searcher-reuse analog
+        self._blocks = spark.read.parquet(f"{index_dir}/blocks")
+        self._dictionary = spark.read.parquet(f"{index_dir}/dictionary").cache()
+
+    def _wand(self, terms, k, field="text"):
+        return wand_topk(
+            self.spark, self.index_dir, terms, k=k, field=field,
+            blocks_df=self._blocks, dictionary_df=self._dictionary,
+            meta=self.meta)
 
     # -- internals ----------------------------------------------------------
 
@@ -121,7 +132,7 @@ class LireQueryEngine:
             keep = max(5, int(len(terms) * subsample))
             terms = rng.sample(terms, min(keep, len(terms)))
         pool = max(start + rows, min(candidates, DEFAULT_CANDIDATES))
-        hits = wand_topk(self.spark, self.index_dir, terms, k=pool, field=field)
+        hits = self._wand(terms, k=pool, field=field)
         if fq:
             stats = self._docstats()
             hits = hits.join(stats.select("docID", "repo", "path", "lang"), "docID") \
@@ -175,8 +186,7 @@ class LireQueryEngine:
             for r in blocks.select("term", "docids")
             .mapInPandas(find_terms, schema="term string").collect()
         ]
-        hits = wand_topk(self.spark, self.index_dir, hit_terms,
-                         k=start + rows + 1, field="ha")
+        hits = self._wand(hit_terms, k=start + rows + 1, field="ha")
         hits = hits.filter(F.col("docID") != doc_id)
         return self._project(self._paginate(hits, start, rows))
 
@@ -192,7 +202,7 @@ class LireQueryEngine:
         threshold predicate is SURVEY P4/P5). Our exact distance is
         1/(1+BM25) mapped to [0,1) so lower = closer, like LIRE distances."""
         terms = py_tokenize(text)
-        hits = wand_topk(self.spark, self.index_dir, terms, k=candidates)
+        hits = self._wand(terms, k=candidates)
         scored = hits.withColumn("dist", 1.0 / (1.0 + F.col("score")))
         passed = scored.filter(F.col("dist") < threshold)
         return (
@@ -215,10 +225,8 @@ class LireQueryEngine:
         union + dropDuplicates + re-rank by combined score (SURVEY U1/J4)."""
         terms = py_tokenize(text)
         ha_terms = [py_hash_token(t) for t in terms]
-        c1 = wand_topk(self.spark, self.index_dir, terms, k=pool_text,
-                       field="text")
-        c2 = wand_topk(self.spark, self.index_dir, ha_terms, k=pool_ha,
-                       field="ha")
+        c1 = self._wand(terms, k=pool_text, field="text")
+        c2 = self._wand(ha_terms, k=pool_ha, field="ha")
         pool = c1.unionByName(c2).groupBy("docID").agg(
             F.max("score").alias("score"))
         return self._project(

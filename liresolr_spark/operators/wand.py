@@ -45,8 +45,12 @@ from liresolr_spark.plans.build import read_meta
 
 
 def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
-                  block_size: int):
-    """Returns the applyInPandas kernel: (shard's query-term blocks) -> topk."""
+                  block_size: int, acc_total=None, acc_visited=None):
+    """Returns the applyInPandas kernel: (shard's query-term blocks) -> topk.
+
+    acc_total/acc_visited: optional Spark accumulators counting aligned
+    docID ranges considered vs actually decoded — the observable WAND
+    saving (ranges never visited are never decompressed)."""
 
     def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
         if len(blocks) == 0:
@@ -78,9 +82,11 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
         tf_col = blocks["tfs"].values
         dl_col = blocks["doclens"].values
 
+        visited = 0
         for ri in visit_order:
             if len(top_ids) >= k and ub[ri] <= theta:
                 break  # no remaining range can beat the k-th score
+            visited += 1
             members = np.nonzero(inv == ri)[0]
             ids_all, sc_all = [], []
             for m in members:
@@ -109,6 +115,9 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
             if len(top_ids) >= k:
                 theta = top_scores[-1]
 
+        if acc_total is not None:
+            acc_total.add(int(len(uniq_seq)))
+            acc_visited.add(int(visited))
         return pd.DataFrame({"docID": top_ids, "score": top_scores})
 
     return kernel
@@ -120,14 +129,25 @@ def wand_topk(
     query_terms: list[str],
     k: int = 60,
     field: str = "text",
+    blocks_df: DataFrame | None = None,
+    dictionary_df: DataFrame | None = None,
+    meta=None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """Block-max WAND top-k: returns DataFrame(docID, score), globally exact."""
-    meta = read_meta(index_dir)
+    """Block-max WAND top-k: returns DataFrame(docID, score), globally exact.
+
+    blocks_df / dictionary_df / meta: optional pre-loaded handles (a serving
+    layer caches these once per index — repeated queries then skip file
+    listing and footer reads). stats_out, if given, receives 'ranges_total'
+    / 'ranges_visited' accumulators, valid AFTER the returned DataFrame is
+    acted on — the measured WAND pruning saving."""
+    meta = meta or read_meta(index_dir)
     qrows = _query_terms_df(spark, query_terms).collect()
     qtf = {r["term"]: r["qtf"] for r in qrows}
     # sum df across dictionary files: appended segments each contribute one
     # dictionary fragment (the Lucene multi-segment term-dictionary merge)
-    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dictionary = (dictionary_df if dictionary_df is not None
+                  else spark.read.parquet(f"{index_dir}/dictionary"))
     dstats = (
         dictionary.filter((F.col("field") == field) & F.col("term").isin(list(qtf)))
         .groupBy("term").agg(F.sum("df").alias("df")).collect()
@@ -138,12 +158,22 @@ def wand_topk(
         return spark.createDataFrame([], "docID long, score double")
 
     # partition pruning on shard dirs is automatic; row-group stats prune term
-    blocks = spark.read.parquet(f"{index_dir}/blocks").filter(
+    src = (blocks_df if blocks_df is not None
+           else spark.read.parquet(f"{index_dir}/blocks"))
+    blocks = src.filter(
         (F.col("field") == field) & F.col("term").isin(list(idf))
     ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
              "max_tf", "min_dl")
 
-    kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl, meta.block_size)
+    acc_total = acc_visited = None
+    if stats_out is not None:
+        acc_total = spark.sparkContext.accumulator(0)
+        acc_visited = spark.sparkContext.accumulator(0)
+        stats_out["ranges_total"] = acc_total
+        stats_out["ranges_visited"] = acc_visited
+
+    kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl,
+                           meta.block_size, acc_total, acc_visited)
     per_shard = blocks.groupBy("shard").applyInPandas(
         lambda bl: kernel(bl), schema="docID long, score double")
     # global merge: bounded heap per partition + driver merge (TakeOrderedAndProject)

@@ -65,6 +65,49 @@ def test_wand_equals_exhaustive_on_random_queries(spark, indexed, vocab):
             assert abs(gs - ws) < 1e-9 * max(1.0, abs(ws))
 
 
+def test_wand_actually_prunes(spark, corpus200, tmp_path_factory):
+    """The observable WAND saving: for a small k, a strict subset of
+    aligned docID ranges is decoded (ranges never visited are never
+    decompressed). Needs several ranges per shard, so a dedicated 2-shard,
+    block-16 index. Accumulators count considered vs decoded."""
+    from liresolr_spark.plans.build import build_index
+    from liresolr_spark.operators.wand import wand_topk
+
+    d = str(tmp_path_factory.mktemp("prune_index"))
+    # the uniform synthetic corpus has no rare terms (every stem lands in
+    # dozens of docs), so inject two docs holding a unique marker token
+    rare_rows = spark.createDataFrame(
+        [("org9/rare", f"src/r{i}.py", f"c{i}", "python",
+          "zebraquux marker " + "filler pad " * 30)
+         for i in range(2)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(corpus200.unionByName(rare_rows), d, num_shards=2,
+                block_size=16, with_hash_tokens=False)
+    dict_rows = (
+        spark.read.parquet(f"{d}/dictionary")
+        .orderBy(F.desc("df"), "term").collect()
+    )
+    # rare + mid mix: ranges holding the rare (high-idf) term dominate the
+    # upper bounds; mid-only ranges fall under theta once the rare ranges
+    # are scored — the case WAND is built for (uniform same-df queries are
+    # its worst case: all bounds tie and nothing can be skipped)
+    mid = dict_rows[len(dict_rows) // 2]["term"]
+    q = ["zebraquux", mid]
+    stats: dict = {}
+    out = wand_topk(spark, d, q, k=2, stats_out=stats)
+    got = out.collect()
+    assert len(got) == 2
+    total = stats["ranges_total"].value
+    visited = stats["ranges_visited"].value
+    assert 0 < visited < total, (visited, total)
+
+    # and the pruned result still equals the exhaustive scorer
+    want = [(r["docID"], r["score"])
+            for r in bm25_topk_from_index(spark, d, q, k=2).collect()]
+    assert [(r["docID"], r["score"]) for r in got] == want
+
+
 def test_block_max_is_upper_bound(spark, indexed):
     """Per-block max_tf_norm must bound every contained posting's tf-norm
     (WAND pruning is only safe under this invariant — SURVEY §7.4.6)."""
