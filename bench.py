@@ -90,11 +90,24 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # scaling-efficiency evidence (tools/scaling_run.py writes SCALING.json;
-    # see BASELINE.md — the local[8]-vs-local[32] stand-in for N vs 4N)
+    # see BASELINE.md — the local[N]-vs-local[4N] stand-in for N vs 4N
+    # executors). Only the HEADLINE numbers ride in the bench JSON line —
+    # the full curves stay in SCALING.json — so the one-line output fits the
+    # driver's tail capture (round-1 lesson: embedding the whole file made
+    # BENCH_r01.json unparseable).
     scaling_path = os.path.join(repo, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            extras["scaling"] = json.load(f)
+            sc = json.load(f)
+        summary = {}
+        for tag, key in (("", "headline_pair"), ("2", "secondary_pair")):
+            pair = sc.get(key)
+            if pair:
+                summary[f"pair{tag}"] = f"local[{pair['N']}]->local[{pair['4N']}]"
+                summary[f"build_eff{tag}"] = pair.get("build_scaling_efficiency")
+                summary[f"build_speedup{tag}"] = pair.get("build_speedup")
+                summary[f"query_eff{tag}"] = pair.get("query_scaling_efficiency")
+        extras["scaling"] = summary
 
     total = round(sum(timings.values()), 3)
     out = {

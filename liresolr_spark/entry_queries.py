@@ -798,6 +798,60 @@ def e05(spark, sf_dir):
     return ivf_topk(emb, centers, qvec, k=10, nprobe=2)
 
 
+@_reg(
+    "e05b_ivf_exhaustive",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT vec_id AS id,
+         round({_COS}, 4) AS cosine
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), q
+)
+SELECT id, cosine FROM scored ORDER BY cosine DESC, id LIMIT 20
+""",
+)
+def e05b(spark, sf_dir):
+    """IVF ANN with nprobe = num_centroids: probing every cell degenerates
+    to the exact brute-force scan, so the approximate path's machinery is
+    held to e01's exact-cosine oracle (the SQL-checkable face of e05;
+    ref: SimilarRequestHandler.java:123-148 visual-word candidate path)."""
+    from liresolr_spark.ops.vocab import ivf_topk
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    emb = _emb(spark, sf_dir)
+    centers = _centroids(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return ivf_topk(emb, centers, qvec, k=20, nprobe=len(centers))
+
+
+@_reg(
+    "v01b_visual_words_invariants",
+    """
+SELECT count(*) AS total_vecs, true AS words_in_range, true AS dists_nonneg
+FROM embeddings
+""",
+)
+def v01b(spark, sf_dir):
+    """SQL-checkable invariants of the k-means visual-word assignment (the
+    cluster identities themselves aren't SQL-expressible, but conservation
+    laws are): every vector is assigned exactly once (sum of per-word counts
+    == table count), words lie in [0, k), distances are non-negative."""
+    from liresolr_spark.ops.vocab import assign_visual_words
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    centers = _centroids(spark, sf_dir)
+    words = assign_visual_words(_emb(spark, sf_dir), centers)
+    k = len(centers)
+    return words.agg(
+        F.count("*").alias("total_vecs"),
+        ((F.min("word") >= 0) & (F.max("word") < k)).alias("words_in_range"),
+        (F.min("dist") >= 0.0).alias("dists_nonneg"),
+    )
+
+
 # ---- text analysis ----------------------------------------------------------
 
 @_reg(
@@ -903,23 +957,70 @@ def t04(spark, sf_dir):
 
 # ---- multimodal plumbing (rows-only: numpy kernel not SQL-expressible) ------
 
-@_reg("m01_media_features", None)
+@_reg(
+    "m01_media_features",
+    """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents WHERE doc_id < 100),
+nib AS (
+  SELECT doc_id, length(h)//2 AS n_bytes, substr(h, 2*i-1, 1) AS c
+  FROM b, unnest(generate_series(1, length(h)//2)) AS t(i)
+),
+cnt AS (SELECT doc_id, n_bytes, c, count(*) AS n FROM nib GROUP BY ALL),
+bins AS (SELECT unnest(['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F']) AS c,
+                unnest(generate_series(0, 15)) AS bin),
+grid AS (SELECT DISTINCT doc_id, n_bytes FROM cnt),
+filled AS (
+  SELECT g.doc_id, g.n_bytes, b.bin, coalesce(cnt.n, 0) AS n
+  FROM grid g CROSS JOIN bins b
+  LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.c = b.c
+)
+SELECT doc_id AS media_id, n_bytes,
+       string_agg(n::VARCHAR, '|' ORDER BY bin) AS hist,
+       round(sqrt(sum((n * 1.0 / n_bytes) ** 2)), 4) AS feat_norm
+FROM filled GROUP BY doc_id, n_bytes ORDER BY media_id
+""",
+)
 def m01(spark, sf_dir):
     """Binary payload + typed metadata -> Arrow-batched fake featurizer
-    (byte histogram). Decode itself is stubbed (no media libs here); the
-    Spark plumbing — schema, batching, UDF signature — is the real thing."""
+    (16-bin high-nibble byte histogram). Decode itself is stubbed (no media
+    libs here); the Spark plumbing — schema, batching, UDF signature — is
+    the real thing. The feature is utf-8-byte-derived, so it IS
+    SQL-expressible: the DuckDB oracle recomputes the histogram from
+    hex(encode(text)) and must match counts exactly. Output is projected to
+    driver-sortable scalars (hist as a '|'-joined integer string)."""
     from liresolr_spark.ops.multimodal import attach_binary_payload, fake_feature_extract
     from liresolr_spark.ship import ship_package
 
     ship_package(spark)
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
     media = attach_binary_payload(docs, "doc_id", "text")
-    return fake_feature_extract(media).orderBy("media_id")
+    feats = fake_feature_extract(media)
+    return (
+        feats.select(
+            "media_id", "n_bytes",
+            F.concat_ws("|", F.col("hist").cast("array<string>")).alias("hist"),
+            F.round("feat_norm", 4).alias("feat_norm"),
+        )
+        .orderBy("media_id")
+    )
 
 
-@_reg("m02_frame_sample", None)
+@_reg(
+    "m02_frame_sample",
+    """
+WITH b AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id < 20
+)
+SELECT media_id, unnest(generate_series(0, greatest(n_bytes // 100 - 1, 0), 100)) AS frame_idx,
+       n_bytes
+FROM b ORDER BY media_id, frame_idx
+""",
+)
 def m02(spark, sf_dir):
-    """Frame-sampling plan shape over binary payloads (decode stubbed)."""
+    """Frame-sampling plan shape over binary payloads (decode stubbed); the
+    synthetic frame index schedule is byte-length-derived, so the DuckDB
+    oracle reproduces it from octet_length(encode(text))."""
     from liresolr_spark.ops.multimodal import attach_binary_payload, frame_sample
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)

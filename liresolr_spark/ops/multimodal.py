@@ -61,30 +61,35 @@ def fake_feature_extract(df: DataFrame) -> DataFrame:
     histogram per payload, vectorized over Arrow batches via mapInPandas —
     the same signature/batch shape a real image featurizer would have.
 
-    Returns (media_id, n_bytes, feat array<double>, feat_norm double)."""
+    Returns (media_id, n_bytes, hist array<bigint> raw counts,
+    feat array<double> normalized, feat_norm double). The raw integer
+    counts ride alongside the normalized feature so downstream consumers
+    (and cross-engine oracles) can compare exactly, float-format-free."""
 
     def extract(batches):
         for pdf in batches:
-            feats, norms, sizes = [], [], []
+            counts, feats, norms, sizes = [], [], [], []
             for buf in pdf["payload"]:
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                hist = np.bincount(arr >> 4, minlength=16)
                 total = hist.sum()
-                if total > 0:
-                    hist = hist / total
-                feats.append(hist.tolist())
-                norms.append(float(np.sqrt((hist * hist).sum())))
+                norm_hist = hist / total if total > 0 else hist.astype(np.float64)
+                counts.append(hist.astype(np.int64).tolist())
+                feats.append(norm_hist.tolist())
+                norms.append(float(np.sqrt((norm_hist * norm_hist).sum())))
                 sizes.append(int(arr.size))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pd.Series(sizes, dtype="int64"),
+                "hist": counts,
                 "feat": feats,
                 "feat_norm": pd.Series(norms, dtype="float64"),
             })
 
     return df.mapInPandas(
         extract,
-        schema="media_id long, n_bytes long, feat array<double>, feat_norm double",
+        schema=("media_id long, n_bytes long, hist array<bigint>, "
+                "feat array<double>, feat_norm double"),
     )
 
 
@@ -100,5 +105,5 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
     return df.select(
         "media_id", F.explode(frames).alias("frame_idx"),
-        F.length("payload").alias("n_bytes"),
-    )
+        F.length("payload").cast("long").alias("n_bytes"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
