@@ -74,6 +74,23 @@ def main() -> None:
     wand_topk(spark, idx, py_tokenize("import return def public"), k=100).collect()
     timings["wand_hot_terms"] = round(time.time() - t0, 3)
 
+    # ---- serving throughput: batched queries through the engine -------------
+    # (one distributed job for the whole batch; decode shared across queries)
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, idx)
+    qbase = ["readFile tokenBlock sortMerge", "import return def public",
+             "dataNode hash_map", "parse query index scan",
+             "open close send recv", "emit token batch row",
+             "find join merge scan", "key val index query"]
+    texts = {f"q{i}": qbase[i % len(qbase)] + f" mod{i % 7}" for i in range(60)}
+    eng.search(text="warm up", rows=5).collect()  # materialize pinned caches
+    t0 = time.time()
+    eng.search_many(texts, rows=10).collect()
+    dt = time.time() - t0
+    timings["serving_batch_60q"] = round(dt, 3)
+    extras["serving_queries_per_sec"] = round(len(texts) / dt, 2)
+
     # ---- registry queries (oracle-checked workload) --------------------------
     bench_set = [
         "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",

@@ -22,8 +22,11 @@ Everything is DataFrame/Arrow-vectorized; no per-row Python anywhere.
 HASH_VERSION = 1
 # bumped whenever the on-disk block layout changes (v2: doclens varint
 # stream denormalized into every posting block; v3: per-block (max_tf,
-# min_dl) avgdl-independent WAND bounds + append-segment support)
-INDEX_FORMAT_VERSION = 3
+# min_dl) avgdl-independent WAND bounds + append-segment support; v4:
+# dictionary fragments partitioned by seg= and manifest by shard= so
+# segment-append retries are idempotent, epoch ledger folded into meta.json
+# for an atomic commit point)
+INDEX_FORMAT_VERSION = 4
 
 # Lucene 4.10 BM25 defaults (ref: SimilarRequestHandler.java:98 `new BM25Similarity()`).
 BM25_K1 = 1.2

@@ -29,27 +29,69 @@ from liresolr_spark.plans.build import read_meta
 class LireQueryEngine:
     """Query interface over a built index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    # above this many dictionary entries the driver-side snapshot is not
+    # pinned (a 10^8-term dictionary belongs on the cluster, not the driver)
+    MAX_DRIVER_DICT_TERMS = 2_000_000
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 pin_blocks: bool = True):
+        """pin_blocks: persist the blocks and docstats tables in the cluster
+        cache (MEMORY_AND_DISK — Spark spills gracefully, the Lucene
+        page-cache analog). Right for a serving deployment where the index
+        fits aggregate cluster memory+disk; pass False for one-off queries
+        against an index far larger than the cache."""
         self.spark = spark
         self.index_dir = index_dir
-        self.meta = read_meta(index_dir)
+        self.pin_blocks = pin_blocks
         self.last_metrics: dict = {}
+        self._open()
+
+    def _open(self) -> None:
         # serving caches: file listing + parquet footers resolved once; the
-        # dictionary (small) additionally pinned in memory — repeat queries
-        # then cost one job, the Solr searcher-reuse analog
-        self._blocks = spark.read.parquet(f"{index_dir}/blocks")
-        self._dictionary = spark.read.parquet(f"{index_dir}/dictionary").cache()
+        # dictionary additionally snapshotted DRIVER-side when small enough —
+        # idf for a query is then pure arithmetic, and the hot path costs
+        # exactly one Spark job (the pruned block scan). The Solr
+        # searcher-reuse analog.
+        self.meta = read_meta(self.index_dir)
+        self._blocks = self.spark.read.parquet(f"{self.index_dir}/blocks")
+        self._docstats_df = self.spark.read.parquet(f"{self.index_dir}/docstats")
+        if self.pin_blocks:
+            self._blocks = self._blocks.cache()
+            self._docstats_df = self._docstats_df.cache()
+        self._dictionary = self.spark.read.parquet(
+            f"{self.index_dir}/dictionary").cache()
+        merged = self._dictionary.groupBy("field", "term").agg(
+            F.sum("df").alias("df"))
+        if merged.count() <= self.MAX_DRIVER_DICT_TERMS:
+            self._dict_map: dict | None = {}
+            for r in merged.collect():
+                self._dict_map.setdefault(r["field"], {})[r["term"]] = int(r["df"])
+        else:
+            self._dict_map = None  # too big to pin: per-query cluster lookup
+
+    def refresh(self) -> None:
+        """Reopen the index after a committed segment append (the Solr
+        searcher-reopen analog): re-reads meta (n_docs/avgdl/num_shards),
+        drops the cached dictionary, and rebuilds every serving cache so df,
+        idf and the block listing agree with the new commit. A live engine
+        that skips this serves the PREVIOUS snapshot consistently — caches
+        are never half-refreshed."""
+        self._dictionary.unpersist()
+        if self.pin_blocks:
+            self._blocks.unpersist()
+            self._docstats_df.unpersist()
+        self._open()
 
     def _wand(self, terms, k, field="text"):
         return wand_topk(
             self.spark, self.index_dir, terms, k=k, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
-            meta=self.meta)
+            dictionary_map=self._dict_map, meta=self.meta)
 
     # -- internals ----------------------------------------------------------
 
     def _docstats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docstats")
+        return self._docstats_df
 
     def _check_clauses(self, terms: list[str]) -> list[str]:
         # ref: BooleanQuery.setMaxClauseCount(10000), SimilarRequestHandler.java:101
@@ -141,6 +183,38 @@ class LireQueryEngine:
         self.last_metrics = {
             "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
             "field": field, "n_terms": len(terms), "pool": pool,
+        }
+        return out
+
+    def search_many(self, texts: dict[str, str], rows: int = DEFAULT_ROWS,
+                    field: str = "text") -> DataFrame:
+        """Batched search: ALL queries in ONE distributed job (the serving-
+        throughput path — per-job overhead amortizes across the batch, and
+        the kernel decodes each hot posting block once per shard regardless
+        of how many queries touch it). texts: {query_id: query_text}.
+        Returns DataFrame(qid, docID, repo, path, commit, lang, score) with
+        each qid's exact top-`rows` — rank-identical to per-query search().
+        """
+        from liresolr_spark.operators.wand import wand_topk_many
+
+        t0 = time.time()
+        queries = {}
+        for qid, text in texts.items():
+            terms = self._check_clauses(py_tokenize(text))
+            if field == "ha":
+                terms = [py_hash_token(t) for t in terms]
+            queries[qid] = terms
+        hits = wand_topk_many(
+            self.spark, self.index_dir, queries, k=rows, field=field,
+            blocks_df=self._blocks, dictionary_df=self._dictionary,
+            dictionary_map=self._dict_map, meta=self.meta)
+        stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
+        out = hits.join(stats, "docID").select(
+            "qid", "docID", "repo", "path", "commit", "lang", "score"
+        ).orderBy("qid", F.desc("score"), F.asc("docID"))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": field, "n_queries": len(queries), "pool": rows,
         }
         return out
 

@@ -40,7 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from liresolr_spark.functions.codec import decode_block
-from liresolr_spark.operators.bm25 import _query_terms_df, idf_lucene
+from liresolr_spark.operators.bm25 import idf_lucene
 from liresolr_spark.plans.build import read_meta
 
 
@@ -73,6 +73,12 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
         uniq_seq, inv = np.unique(seqs, return_inverse=True)
         ub = np.bincount(inv, weights=ub_contrib)
         visit_order = np.argsort(-ub, kind="stable")
+        # group block rows by range ONCE (argsort + offsets): members of
+        # range ri are a contiguous slice — keeps the visit loop
+        # O(blocks log blocks), not O(ranges * blocks)
+        grp = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(uniq_seq))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
 
         top_ids = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -84,10 +90,14 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
 
         visited = 0
         for ri in visit_order:
-            if len(top_ids) >= k and ub[ri] <= theta:
-                break  # no remaining range can beat the k-th score
+            # prune on STRICT inequality: a range whose bound exactly ties
+            # theta may still hold a doc with score == theta and a smaller
+            # docID, which outranks the current k-th under the total order
+            # (score desc, docID asc)
+            if len(top_ids) >= k and ub[ri] < theta:
+                break  # no remaining range can beat the k-th result
             visited += 1
-            members = np.nonzero(inv == ri)[0]
+            members = grp[offsets[ri]:offsets[ri + 1]]
             ids_all, sc_all = [], []
             for m in members:
                 ids, tfs, dls_u = decode_block(
@@ -123,6 +133,151 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
     return kernel
 
 
+def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
+    """Batched variant: Q queries against one shard's blocks in a single
+    kernel invocation. Each block is DECODED AT MOST ONCE across all queries
+    (memoized) — hot terms shared by many queries amortize to one
+    decompression — and WAND range-pruning still applies per query."""
+
+    def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series(dtype="object"),
+                              "docID": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if len(blocks) == 0:
+            return empty
+        terms = blocks["term"].values
+        seqs = blocks["block_seq"].values.astype(np.int64)
+        mtf = blocks["max_tf"].values.astype(np.float64)
+        mdl = blocks["min_dl"].values.astype(np.float64)
+        # idf-free part of the block bound (see _shard_kernel notes)
+        bound_base = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+
+        uniq_seq, inv = np.unique(seqs, return_inverse=True)
+        grp = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(uniq_seq))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+
+        docid_col = blocks["docids"].values
+        tf_col = blocks["tfs"].values
+        dl_col = blocks["doclens"].values
+        decoded: dict[int, tuple] = {}  # row -> (ids, tf_norm_part) cache
+
+        def decode(m: int):
+            hit = decoded.get(m)
+            if hit is None:
+                ids, tfs, dls_u = decode_block(
+                    bytes(docid_col[m]), bytes(tf_col[m]), bytes(dl_col[m]))
+                tf_f = tfs.astype(np.float64)
+                dls = dls_u.astype(np.float64)
+                # idf-free per-posting contribution; a query scales it by w
+                part = tf_f * (k1 + 1.0) / (
+                    tf_f + k1 * (1.0 - b + b * dls / avgdl))
+                hit = (ids.astype(np.int64), part)
+                decoded[m] = hit
+            return hit
+
+        out = []
+        for qid, idf in idfs.items():
+            w = np.array([idf.get(t, 0.0) for t in terms], dtype=np.float64)
+            ub = np.bincount(inv, weights=w * bound_base,
+                             minlength=len(uniq_seq))
+            visit_order = np.argsort(-ub, kind="stable")
+            top_ids = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            theta = -np.inf
+            for ri in visit_order:
+                if ub[ri] <= 0.0 or (len(top_ids) >= k and ub[ri] < theta):
+                    break  # strict: an exact tie may hold a smaller docID
+                ids_all, sc_all = [], []
+                for m in grp[offsets[ri]:offsets[ri + 1]]:
+                    if w[m] == 0.0:
+                        continue  # block belongs to another query's term
+                    ids, part = decode(m)
+                    ids_all.append(ids)
+                    sc_all.append(w[m] * part)
+                if not ids_all:
+                    continue
+                ids_cat = np.concatenate(ids_all)
+                sc_cat = np.concatenate(sc_all)
+                lo = ids_cat.min()
+                acc = np.bincount(ids_cat - lo, weights=sc_cat)
+                nz = np.nonzero(acc)[0]
+                top_ids = np.concatenate([top_ids, nz + lo])
+                top_scores = np.concatenate([top_scores, acc[nz]])
+                order = np.lexsort((top_ids, -top_scores))[:k]
+                top_ids, top_scores = top_ids[order], top_scores[order]
+                if len(top_ids) >= k:
+                    theta = top_scores[-1]
+            if len(top_ids):
+                out.append(pd.DataFrame({
+                    "qid": qid, "docID": top_ids, "score": top_scores}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return kernel
+
+
+def wand_topk_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, list[str]],
+    k: int = 60,
+    field: str = "text",
+    blocks_df: DataFrame | None = None,
+    dictionary_df: DataFrame | None = None,
+    dictionary_map: dict | None = None,
+    meta=None,
+) -> DataFrame:
+    """Batched block-max WAND: ALL queries answered in ONE distributed job.
+
+    Returns DataFrame(qid, docID, score) — each qid's rows are its exact
+    top-k under (score desc, docID asc). This is the serving-throughput
+    path: per-job overhead (scheduling, Python worker round-trip, shuffle
+    setup) is paid once for the whole batch instead of per query, and the
+    kernel decodes each hot block once for every query that touches it.
+    queries: {query_id: [terms...]}."""
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    meta = meta or read_meta(index_dir)
+    if dictionary_map is not None:
+        dmap = dictionary_map.get(field, {})
+    else:
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        dictionary = (dictionary_df if dictionary_df is not None
+                      else spark.read.parquet(f"{index_dir}/dictionary"))
+        rows = (
+            dictionary.filter((F.col("field") == field)
+                              & F.col("term").isin(all_terms))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        )
+        dmap = {r["term"]: int(r["df"]) for r in rows}
+    idfs = {}
+    for qid, terms in queries.items():
+        qtf = Counter(terms)
+        m = {t: idf_lucene(meta.n_docs, dmap[t]) * n
+             for t, n in qtf.items() if t in dmap}
+        if m:
+            idfs[qid] = m
+    if not idfs:
+        return spark.createDataFrame([], "qid string, docID long, score double")
+    union_terms = sorted({t for m in idfs.values() for t in m})
+
+    src = (blocks_df if blocks_df is not None
+           else spark.read.parquet(f"{index_dir}/blocks"))
+    blocks = src.filter(
+        (F.col("field") == field) & F.col("term").isin(union_terms)
+    ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
+             "max_tf", "min_dl")
+
+    kernel = _shard_kernel_many(idfs, k, meta.k1, meta.b, meta.avgdl)
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        lambda bl: kernel(bl), schema="qid string, docID long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+    return (per_shard.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -131,6 +286,7 @@ def wand_topk(
     field: str = "text",
     blocks_df: DataFrame | None = None,
     dictionary_df: DataFrame | None = None,
+    dictionary_map: dict | None = None,
     meta=None,
     stats_out: dict | None = None,
 ) -> DataFrame:
@@ -138,22 +294,32 @@ def wand_topk(
 
     blocks_df / dictionary_df / meta: optional pre-loaded handles (a serving
     layer caches these once per index — repeated queries then skip file
-    listing and footer reads). stats_out, if given, receives 'ranges_total'
-    / 'ranges_visited' accumulators, valid AFTER the returned DataFrame is
+    listing and footer reads). dictionary_map, if given, is a driver-side
+    {field: {term: df}} snapshot: idf is then computed WITHOUT any Spark job,
+    leaving exactly ONE job per query (the pruned block scan) — the hot
+    serving path. stats_out, if given, receives 'ranges_total' /
+    'ranges_visited' accumulators, valid AFTER the returned DataFrame is
     acted on — the measured WAND pruning saving."""
+    from collections import Counter
+
     meta = meta or read_meta(index_dir)
-    qrows = _query_terms_df(spark, query_terms).collect()
-    qtf = {r["term"]: r["qtf"] for r in qrows}
-    # sum df across dictionary files: appended segments each contribute one
-    # dictionary fragment (the Lucene multi-segment term-dictionary merge)
-    dictionary = (dictionary_df if dictionary_df is not None
-                  else spark.read.parquet(f"{index_dir}/dictionary"))
-    dstats = (
-        dictionary.filter((F.col("field") == field) & F.col("term").isin(list(qtf)))
-        .groupBy("term").agg(F.sum("df").alias("df")).collect()
-    )
-    idf = {r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]]
-           for r in dstats}
+    qtf = Counter(query_terms)
+    if dictionary_map is not None:
+        dmap = dictionary_map.get(field, {})
+        idf = {t: idf_lucene(meta.n_docs, dmap[t]) * n
+               for t, n in qtf.items() if t in dmap}
+    else:
+        # sum df across dictionary fragments: appended segments each add one
+        # (the Lucene multi-segment term-dictionary merge)
+        dictionary = (dictionary_df if dictionary_df is not None
+                      else spark.read.parquet(f"{index_dir}/dictionary"))
+        dstats = (
+            dictionary.filter((F.col("field") == field)
+                              & F.col("term").isin(list(qtf)))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        )
+        idf = {r["term"]: idf_lucene(meta.n_docs, r["df"]) * qtf[r["term"]]
+               for r in dstats}
     if not idf:
         return spark.createDataFrame([], "docID long, score double")
 

@@ -33,23 +33,6 @@ def shingles_expr(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_expr(shingles_col: Column, perm: int) -> Column:
-    """MinHash for permutation `perm`: min over shingles of an md5-derived
-    32-bit lane (see `minhash_lane_structs`). Kept for one-off use; the
-    signature builder uses the lane-grouped form so each shingle is md5'd
-    once per GROUP of 4 permutations, not once per permutation."""
-    group, lane = divmod(perm, 4)
-    return F.array_min(
-        F.transform(
-            shingles_col,
-            lambda s: F.substring(
-                F.md5(F.concat(F.lit(f"h{group}:"), s)), lane * 8 + 1, 8),
-        )
-    )
-
-
-
-
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------

@@ -79,6 +79,11 @@ class IndexMeta:
     b: float
     format_version: int = 1  # pre-doclens indexes carry no key -> 1
     total_doclen: float = 0.0  # sum of doclens; lets appends update avgdl
+    # applied streaming epochs ride INSIDE meta.json so the ledger and the
+    # index statistics commit in ONE atomic rename — a crash can never leave
+    # meta updated but the epoch unrecorded (which would double-append on
+    # the foreachBatch retry)
+    applied_epochs: list | None = None
 
 
 def _paths(index_dir: str) -> dict:
@@ -95,6 +100,17 @@ def _paths(index_dir: str) -> dict:
 def read_meta(index_dir: str) -> IndexMeta:
     with open(_paths(index_dir)["meta"]) as f:
         return IndexMeta(**json.load(f))
+
+
+def write_meta(index_dir: str, meta: IndexMeta) -> None:
+    """Atomic meta commit: temp file + rename. meta.json is the index's
+    single commit point (segment appends become visible exactly when it
+    lands), so it must never be observable half-written."""
+    path = _paths(index_dir)["meta"]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(meta), f)
+    os.replace(tmp, path)
 
 
 def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
@@ -232,11 +248,21 @@ def build_index(
     with_hash_tokens: bool = True,
     shard_waves: int = 1,
     max_waves: int | None = None,
+    group_salts: int = 4,
 ) -> dict:
     """Build (or resume) the index. Returns the per-stage metrics dict.
 
     shard_waves > 1 commits lineage incrementally (resume granularity);
     max_waves (tests only) stops early to simulate a killed build.
+
+    group_salts: within-shard term-hash salt on the blocks-stage group key —
+    one Arrow group then holds ~1/group_salts of a shard's postings instead
+    of ALL of them, so the per-task memory ceiling no longer forces
+    num_shards to grow with the data. Blocks stay term-contiguous (a term
+    maps to exactly one salt) and docID alignment is untouched, so the
+    output bytes are identical modulo file packing. Raise with data volume:
+    at 10^12 docs pick group_salts so a group's postings fit one executor
+    (e.g. shard_docs * avg_doclen / group_salts ~ 1-2 GB).
     """
     spark = corpus.sparkSession
     p = _paths(index_dir)
@@ -331,12 +357,18 @@ def build_index(
             )
 
         with stage("blocks"):
-            # group per (shard, field): 2 groups per shard, each the size of
-            # one shard's postings — balanced by construction (shard = docID
-            # range), term-level grouping happens vectorized inside the
-            # kernel. Grouping by (shard,field,term) instead would create
-            # millions of tiny pandas groups (per-group overhead dominates).
-            blocks = tf.groupBy("shard", "field").applyInArrow(
+            # group per (shard, field, term-hash salt): bounded groups, each
+            # ~1/group_salts of one shard's postings — balanced by
+            # construction (shard = docID range; term hash is uniform),
+            # term-level grouping happens vectorized inside the kernel.
+            # Grouping by (shard,field,term) instead would create millions
+            # of tiny Arrow groups (per-group overhead dominates); grouping
+            # by (shard,field) alone puts a whole shard in one task — the
+            # build's memory ceiling at 100x scale.
+            salted = tf.withColumn(
+                "gsalt",
+                F.pmod(F.xxhash64("term"), F.lit(group_salts)).cast("int"))
+            blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
                 builder, schema=BLOCK_SCHEMA
             )
             (blocks.sortWithinPartitions("field", "term", "block_seq")
@@ -358,7 +390,9 @@ def build_index(
             )
             manifest = shard_stats.join(shard_docs, "shard", "full").withColumn(
                 "status", F.lit("done"))
-            manifest.write.mode("append").parquet(p["manifest"])
+            # partitioned by shard so a segment append's retry can drop its
+            # own manifest rows (shard=N dirs) without touching earlier ones
+            manifest.write.mode("append").partitionBy("shard").parquet(p["manifest"])
 
     finished = (max_waves is None) or (len(wave_lists) == waves)
     if finished:
@@ -369,7 +403,11 @@ def build_index(
                 F.sum("count").alias("df"),
                 F.max("max_tf_norm").alias("max_tf_norm"),
             )
-            dictionary.write.mode("overwrite").parquet(p["dictionary"])
+            # seg= partition layout: the base build is segment 0; appended
+            # segments add seg=<base_shard> fragment dirs, so a retried
+            # append can delete exactly its own fragment (idempotency)
+            (dictionary.withColumn("seg", F.lit(0))
+             .write.mode("overwrite").partitionBy("seg").parquet(p["dictionary"]))
 
         meta = IndexMeta(
             n_docs=n_docs, avgdl=avgdl, num_shards=num_shards,
@@ -378,8 +416,7 @@ def build_index(
             format_version=INDEX_FORMAT_VERSION,
             total_doclen=total_doclen,
         )
-        with open(p["meta"], "w") as f:
-            json.dump(asdict(meta), f)
+        write_meta(index_dir, meta)
 
     if ranged_part is not None:
         ranged_part.unpersist()

@@ -21,7 +21,13 @@ exactly that shape on Spark:
   a directory of corpus parquet files, `foreachBatch(append_segment)`,
   `trigger(availableNow)`, checkpointed so restarts resume from the last
   committed file offset. Batch retries are made idempotent by an epoch
-  ledger (`epochs.json`) plus pre-cleanup of the batch's target shard dirs.
+  ledger committed atomically inside meta.json, plus pre-cleanup of ALL of
+  the segment's partition dirs (docstats/blocks shard=, manifest shard=,
+  dictionary seg=) before re-writing.
+
+Live query engines cache index handles; after a committed append, call
+`LireQueryEngine.refresh()` (the Solr searcher-reopen analog) to pick up
+the new segments and updated global statistics.
 
 Semantics note (documented deviation): dedup-by-natural-key applies WITHIN
 a batch only. Cross-segment duplicates are retained, exactly like Lucene
@@ -32,7 +38,6 @@ equivalent without a corpus-wide shuffle per batch.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -46,21 +51,20 @@ from liresolr_spark.plans.build import (
     _paths,
     build_index,
     read_meta,
+    write_meta,
 )
 from liresolr_spark.plans.build import BLOCK_SCHEMA
 from liresolr_spark.functions.tokenizer import tokenize_expr
 from liresolr_spark.sources.corpus import assign_doc_ids
 
 
-def _epochs_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "epochs.json")
-
-
 def _applied_epochs(index_dir: str) -> set[int]:
-    p = _epochs_path(index_dir)
+    """Applied-epoch ledger lives INSIDE meta.json: the ledger and the index
+    statistics commit in one atomic rename, so a crash can never record one
+    without the other (which would double- or re-append on retry)."""
+    p = _paths(index_dir)["meta"]
     if os.path.exists(p):
-        with open(p) as f:
-            return set(json.load(f))
+        return set(read_meta(index_dir).applied_epochs or [])
     return set()
 
 
@@ -84,8 +88,9 @@ def append_segment(
                         num_shards=num_shards or 8,
                         block_size=block_size or 128)
         if epoch_id is not None:
-            with open(_epochs_path(index_dir), "w") as f:
-                json.dump([epoch_id], f)
+            meta = read_meta(index_dir)
+            meta.applied_epochs = [epoch_id]
+            write_meta(index_dir, meta)
         return m
 
     if epoch_id is not None and epoch_id in _applied_epochs(index_dir):
@@ -96,7 +101,13 @@ def append_segment(
     base_docid = meta.n_docs
     base_shard = meta.num_shards
 
-    docs = assign_doc_ids(batch, NATURAL_KEY, dedup=True)
+    # cache=True: the per-partition count job and the docID-materializing
+    # jobs must share ONE materialization of the repartitionByRange output —
+    # re-executing the lineage could re-sample range bounds and mis-align
+    # the cumulative offsets (duplicate/skipped docIDs). Same hardening as
+    # the batch build path.
+    docs = assign_doc_ids(batch, NATURAL_KEY, dedup=True, cache=True)
+    ranged_part = docs._lsr_cached_part
     docs = (
         docs.withColumn("docID", F.col("docID") + F.lit(base_docid))
         .withColumn("tokens", tokenize_expr(F.col("content")))
@@ -108,12 +119,12 @@ def append_segment(
              .cast("int")),
         )
     )
-    docs.persist()
     row = docs.agg(F.count("*").alias("n"),
                    F.sum("doclen").alias("s")).first()
     n_new, dl_new = int(row["n"]), float(row["s"] or 0.0)
     if n_new == 0:
-        docs.unpersist()
+        if ranged_part is not None:
+            ranged_part.unpersist()
         return {"appended_docs": 0}
 
     new_total = meta.total_doclen + dl_new
@@ -122,12 +133,18 @@ def append_segment(
     new_shard_hi = base_shard + (n_new - 1) // meta.docs_per_shard + 1
 
     # clean any half-written attempt of this segment (crash between data
-    # write and the meta commit), then write
-    for key in ("docstats", "blocks"):
+    # write and the meta commit), then write. EVERY pre-commit artifact of
+    # the segment lives under a shard>=base_shard or seg=base_shard
+    # partition dir, so this cleanup makes the whole append idempotent —
+    # including the dictionary fragment and manifest rows, which are
+    # mode('append') writes (round-1 advice: a crash between the fragment
+    # append and the meta commit must not double df on retry).
+    for key, prefix in (("docstats", "shard="), ("blocks", "shard="),
+                        ("manifest", "shard="), ("dictionary", "seg=")):
         base = p[key]
         if os.path.exists(base):
             for d in os.listdir(base):
-                if d.startswith("shard=") and int(d.split("=", 1)[1]) >= base_shard:
+                if d.startswith(prefix) and int(d.split("=", 1)[1]) >= base_shard:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     docstats = docs.select(
@@ -142,7 +159,11 @@ def append_segment(
     tf = exploded.groupBy("shard", "field", "term", "docID").agg(
         F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
     builder = _block_builder(meta.block_size, BM25_K1, BM25_B, new_avgdl)
-    blocks = tf.groupBy("shard", "field").applyInArrow(
+    # same within-shard term-hash salt as the batch build: bounds one Arrow
+    # group to a fraction of a shard's postings (see build_index group_salts)
+    salted = tf.withColumn(
+        "gsalt", F.pmod(F.xxhash64("term"), F.lit(4)).cast("int"))
+    blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
         builder, schema=BLOCK_SCHEMA)
     (blocks.sortWithinPartitions("field", "term", "block_seq")
      .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
@@ -162,30 +183,29 @@ def append_segment(
             "shard", "full")
         .withColumn("status", F.lit("done"))
     )
-    manifest.write.mode("append").parquet(p["manifest"])
+    manifest.write.mode("append").partitionBy("shard").parquet(p["manifest"])
 
-    # segment dictionary fragment: df per term for THIS segment only;
+    # segment dictionary fragment: df per term for THIS segment only, under
+    # its own seg=<base_shard> partition dir (idempotent retry unit);
     # queries merge fragments by summing df per (field, term)
     (seg_blocks.groupBy("field", "term")
      .agg(F.sum("count").alias("df"), F.max("max_tf_norm").alias("max_tf_norm"))
-     .write.mode("append").parquet(p["dictionary"]))
+     .withColumn("seg", F.lit(base_shard))
+     .write.mode("append").partitionBy("seg").parquet(p["dictionary"]))
 
-    docs.unpersist()
+    if ranged_part is not None:
+        ranged_part.unpersist()
 
-    # commit point: meta + epoch ledger, written last
+    # commit point: meta + epoch ledger in ONE atomic rename, written last
     meta.n_docs = new_n
     meta.avgdl = new_avgdl
     meta.total_doclen = new_total
     meta.num_shards = new_shard_hi
-    from dataclasses import asdict
-
-    with open(p["meta"], "w") as f:
-        json.dump(asdict(meta), f)
     if epoch_id is not None:
-        applied = _applied_epochs(index_dir)
+        applied = set(meta.applied_epochs or [])
         applied.add(epoch_id)
-        with open(_epochs_path(index_dir), "w") as f:
-            json.dump(sorted(applied), f)
+        meta.applied_epochs = sorted(applied)
+    write_meta(index_dir, meta)
     return {"appended_docs": n_new, "new_shards": new_shard_hi - base_shard,
             "n_docs": new_n, "avgdl": new_avgdl}
 

@@ -105,3 +105,45 @@ def test_function_sort(engine):
 def test_max_clause_guard(engine):
     with pytest.raises(ValueError):
         engine.search(text=" ".join(f"t{i}" for i in range(10001)))
+
+
+def test_search_many_rank_identical(engine, docs_local):
+    """Batched serving path: one job for Q queries must return, per query,
+    exactly the same top-k (ids AND scores) as the per-query path."""
+    queries = {
+        "q_a": "readFile tokenBlock sortMerge",
+        "q_b": "import return def public",
+        "q_c": "dataNode hash_map",
+        "q_d": "zzz_nothing_matches",
+    }
+    batched = engine.search_many(queries, rows=15).collect()
+    assert engine.last_metrics["n_queries"] == 4
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append((r["docID"], round(r["score"], 9)))
+    for qid, text in queries.items():
+        want = [(r["docID"], round(r["score"], 9))
+                for r in engine.search(text=text, rows=15).collect()]
+        assert by_qid.get(qid, []) == want, qid
+
+
+def test_refresh_sees_appended_segment(spark, corpus200, tmp_path_factory):
+    """A live engine serves a consistent snapshot until refresh(); after a
+    committed append + refresh it must serve the union with updated stats."""
+    import pyspark.sql.functions as F
+
+    from liresolr_spark.streaming.ingest import append_segment
+
+    d = str(tmp_path_factory.mktemp("refreshidx"))
+    half1 = corpus200.filter(F.abs(F.hash("repo", "path", "commit")) % 2 == 0)
+    half2 = corpus200.filter(F.abs(F.hash("repo", "path", "commit")) % 2 == 1)
+    append_segment(half1, d, epoch_id=0, num_shards=2, block_size=64)
+    eng = LireQueryEngine(spark, d)
+    n_before = eng.meta.n_docs
+    append_segment(half2, d, epoch_id=1)
+    # stale until reopened — the cached snapshot is still the old commit
+    assert eng.meta.n_docs == n_before
+    eng.refresh()
+    assert eng.meta.n_docs > n_before
+    hits = eng.search(text="import return", rows=50).collect()
+    assert len(hits) > 0

@@ -93,10 +93,49 @@ def test_stream_restart_is_idempotent(spark, streamed_index):
 
 def test_epoch_retry_skipped(spark, streamed_index):
     idx, corpus, _n1, _in, _cp = streamed_index
-    with open(f"{idx}/epochs.json") as f:
-        applied = json.load(f)
+    applied = read_meta(idx).applied_epochs
+    assert applied, "append must record its epoch in the meta.json ledger"
     some_batch = corpus.limit(10)
     out = append_segment(some_batch, idx, epoch_id=applied[-1])
     assert out == {"skipped_epoch": applied[-1]}
+    assert read_meta(idx).n_docs == spark.read.parquet(
+        f"{idx}/docstats").count()
+
+
+def test_uncommitted_append_retry_does_not_double_df(spark, streamed_index):
+    """Crash-before-commit simulation: restore the pre-append meta.json
+    (data files already on disk, commit point not yet written) and re-run
+    the same epoch. The retry must clean the orphaned segment artifacts —
+    including the dictionary fragment, whose duplication would silently
+    skew idf for every term in the segment — and converge to the same df
+    totals as a single clean append."""
+    import shutil
+
+    idx, corpus, _n1, _in, _cp = streamed_index
+    meta_before = read_meta(idx)
+    shutil.copy(f"{idx}/meta.json", f"{idx}/meta.json.save")
+
+    batch = corpus.limit(25)
+    out1 = append_segment(batch, idx, epoch_id=777)
+    assert out1["appended_docs"] > 0
+    df_after_clean = {
+        (r["field"], r["term"]): r["df"]
+        for r in spark.read.parquet(f"{idx}/dictionary")
+        .groupBy("field", "term").agg(F.sum("df").alias("df")).collect()
+    }
+
+    # crash between the data/fragment writes and the meta commit: meta.json
+    # reverts, every other artifact of epoch 777 is left orphaned on disk
+    shutil.move(f"{idx}/meta.json.save", f"{idx}/meta.json")
+    assert read_meta(idx).n_docs == meta_before.n_docs
+
+    out2 = append_segment(batch, idx, epoch_id=777)  # foreachBatch retry
+    assert out2["appended_docs"] == out1["appended_docs"]
+    df_after_retry = {
+        (r["field"], r["term"]): r["df"]
+        for r in spark.read.parquet(f"{idx}/dictionary")
+        .groupBy("field", "term").agg(F.sum("df").alias("df")).collect()
+    }
+    assert df_after_retry == df_after_clean
     assert read_meta(idx).n_docs == spark.read.parquet(
         f"{idx}/docstats").count()
