@@ -135,6 +135,7 @@ class LireQueryEngine:
         candidates: int = DEFAULT_CANDIDATES,
         subsample: float | None = None,
         seed: int = 42,
+        fl_expr: str | None = None,
     ) -> DataFrame:
         """Dispatch on query source, exactly like handleRequestBody
         (ref: LireRequestHandler.java:103-130):
@@ -157,6 +158,14 @@ class LireQueryEngine:
         orders by the same exact score (our exact phase IS the BM25 score,
         so candidates=k suffices; the parameter exists for parity with the
         20000-candidate pool, LireRequestHandler.java:59).
+
+        fl_expr: optional SQL expression over the projected columns (repo,
+        path, commit, lang, score), returned as an extra `fval` column —
+        the `fl=lirefunc(...)` projection analog (ref: README.md:204-212,
+        LireValueSource.java:85-109: the function value is usable in the
+        field list, not just the sort). E.g.
+        fl_expr="url_encode(concat(repo, '/', path))" reproduces the
+        reference's URL-encoded title field (ParallelSolrIndexer.java:456).
         """
         t0 = time.time()
         field = "text"
@@ -180,6 +189,8 @@ class LireQueryEngine:
             hits = hits.join(stats.select("docID", "repo", "path", "lang"), "docID") \
                        .filter(F.expr(fq)).select("docID", "score")
         out = self._project(self._paginate(hits, start, rows))
+        if fl_expr is not None:
+            out = out.withColumn("fval", F.expr(fl_expr))
         self.last_metrics = {
             "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
             "field": field, "n_terms": len(terms), "pool": pool,
@@ -268,17 +279,37 @@ class LireQueryEngine:
 
     def identity(
         self, text: str, threshold: float,
+        verify_threshold: float | None = None,
         candidates: int = 25000, rows: int = DEFAULT_ROWS,
     ) -> DataFrame:
-        """Near-identity check: candidates by index score, then keep only
-        those whose exact distance passes the threshold (ref:
-        IdentityRequestHandler.java:105-133 thresholds from properties;
-        threshold predicate is SURVEY P4/P5). Our exact distance is
-        1/(1+BM25) mapped to [0,1) so lower = closer, like LIRE distances."""
+        """Near-identity check, the reference's DUAL-FEATURE TWO-PHASE
+        cascade (ref: IdentityRequestHandler.java:116-133,230-261: a cheap
+        CL-feature pass under one threshold, then SURF verification under a
+        second): phase 1 retrieves candidates on the cheap HASH-TOKEN field
+        and keeps those under `threshold`; phase 2 (if `verify_threshold`
+        is set) re-scores the survivors on the exact lexical field and
+        ANTI-FILTERS those at or above it (SURVEY P4 predicate + P5
+        anti-predicate). Our distance is 1/(1+BM25) mapped to (0,1] so
+        lower = closer, like LIRE distances; ordering is by the verify
+        distance when present, else the phase-1 distance."""
         terms = py_tokenize(text)
-        hits = self._wand(terms, k=candidates)
-        scored = hits.withColumn("dist", 1.0 / (1.0 + F.col("score")))
-        passed = scored.filter(F.col("dist") < threshold)
+        ha_terms = [py_hash_token(t) for t in terms]
+        # phase 1: cheap candidate pass on the hash field
+        cand = self._wand(ha_terms, k=candidates, field="ha")
+        cand = cand.withColumn("dist", 1.0 / (1.0 + F.col("score")))
+        passed = cand.filter(F.col("dist") < threshold)
+        if verify_threshold is not None:
+            # phase 2: exact verification on the lexical field; the join is
+            # a semi-restriction of the (small) phase-1 pool, then the
+            # anti-predicate drops survivors failing the second threshold
+            verify = self._wand(terms, k=candidates, field="text").select(
+                "docID", F.col("score").alias("vscore"))
+            passed = (
+                passed.select("docID", "score").join(verify, "docID")
+                .withColumn("dist", 1.0 / (1.0 + F.col("vscore")))
+                .filter(F.col("dist") < verify_threshold)
+                .select("docID", F.col("vscore").alias("score"), "dist")
+            )
         return (
             self._project(passed.select("docID", "score"))
             .join(passed.select("docID", "dist"), "docID")

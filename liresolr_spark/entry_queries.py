@@ -749,6 +749,93 @@ def q13(spark, sf_dir):
     return a.unionByName(b).dropDuplicates(["doc_id"]).orderBy("doc_id")
 
 
+@_reg(
+    "q14_identity_cascade",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+q AS (SELECT * FROM {_terms_values_sql(py_tokenize(FLAGSHIP_QUERY))}),
+ov AS (SELECT doc_id, count(DISTINCT term) AS overlap
+       FROM tok JOIN q USING (term) GROUP BY doc_id),
+cand AS (SELECT * FROM ov WHERE overlap >= 3),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+          FROM tok JOIN q USING (term) GROUP BY term),
+tfv AS (SELECT t.doc_id, t.term, count(*) AS tf
+        FROM tok t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * c.tf * ({BM25_K1} + 1)
+             / (c.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl))
+         ) AS score
+  FROM tfv c JOIN dfreq f USING (term) JOIN q USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY c.doc_id)
+SELECT s.doc_id, c.overlap, round(1.0 / (1.0 + s.score), 4) AS dist
+FROM scored s JOIN cand c USING (doc_id)
+WHERE round(1.0 / (1.0 + s.score), 4) < 0.45
+ORDER BY dist, s.doc_id
+LIMIT 30
+""",
+)
+def q14(spark, sf_dir):
+    """Dual-threshold identity cascade (ref:
+    IdentityRequestHandler.java:116-133,230-261): a CHEAP phase-1 filter
+    (query-term overlap >= 3, the CL-feature threshold analog) gates an
+    EXPENSIVE exact verification (BM25 -> distance 1/(1+score)), whose
+    second threshold ANTI-FILTERS survivors (SURVEY P4 + P5). The served
+    path is LireQueryEngine.identity(threshold, verify_threshold=...)."""
+    docs = _docs(spark, sf_dir)
+    terms = py_tokenize(FLAGSHIP_QUERY)
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    posting = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+    cand = (
+        posting.join(broadcast(qdf), "term")
+        .groupBy("doc_id").agg(F.countDistinct("term").alias("overlap"))
+        .filter(F.col("overlap") >= 3)
+    )
+    scored = bm25_scores_all(
+        docs, terms, doc_id_col="doc_id", text_col="text")
+    verified = (
+        scored.select(F.col("docID").alias("doc_id"),
+                      F.round(1.0 / (1.0 + F.col("score")), 4).alias("dist"))
+        .join(cand, "doc_id")
+        .filter(F.col("dist") < 0.45)
+    )
+    return (
+        verified.select("doc_id", "overlap", "dist")
+        .orderBy(F.asc("dist"), F.asc("doc_id")).limit(30)
+    )
+
+
+@_reg(
+    "q15_url_encoded_titles",
+    """
+SELECT doc_id,
+       replace(replace(lang || ' ' || doc_id || '/doc', ' ', '+'), '/', '%2F')
+         AS title_enc
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+)
+def q15(spark, sf_dir):
+    """URL-encoded title projection (SURVEY F9, ref:
+    ParallelSolrIndexer.java:456 URLEncoder.encode of the title field) —
+    Spark's url_encode over a constructed title; the oracle replicates the
+    encoding with a replace chain over the title's constrained charset."""
+    return (
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.url_encode(
+                F.concat(F.col("lang"), F.lit(" "),
+                         F.col("doc_id").cast("string"), F.lit("/doc"))
+            ).alias("title_enc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _VOCAB_CACHE: dict = {}
 
 

@@ -222,6 +222,9 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
     return out
 
 
-def load_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Load a persisted corpus (parquet; Iceberg in production — same columns)."""
-    return spark.read.parquet(path)
+def load_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Load a persisted corpus: an Iceberg/catalog table identifier in
+    production, a parquet path here — one seam, see sources/catalog.py."""
+    from liresolr_spark.sources.catalog import read_corpus
+
+    return read_corpus(spark, source)

@@ -147,3 +147,34 @@ def test_refresh_sees_appended_segment(spark, corpus200, tmp_path_factory):
     assert eng.meta.n_docs > n_before
     hits = eng.search(text="import return", rows=50).collect()
     assert len(hits) > 0
+
+
+def test_identity_dual_threshold_cascade(engine):
+    """Two-phase identity: phase-1 hash-field pool under threshold, phase-2
+    exact lexical verification under a second threshold (the reference's
+    CL-then-SURF cascade). The verified set must be a subset of the
+    phase-1-only set, every row must pass the verify anti-filter, and
+    ordering must follow the verify distance."""
+    q = "readFile tokenBlock sortMerge"
+    phase1_only = engine.identity(q, threshold=0.9999, rows=50).collect()
+    assert len(phase1_only) > 0
+    verify_t = sorted(r["dist"] for r in phase1_only)[len(phase1_only) // 2]
+    both = engine.identity(q, threshold=0.9999, verify_threshold=verify_t,
+                           rows=50).collect()
+    assert 0 < len(both) <= len(phase1_only)
+    assert all(r["dist"] < verify_t for r in both)
+    dists = [r["dist"] for r in both]
+    assert dists == sorted(dists)
+    assert set(r["docID"] for r in both) <= set(
+        r["docID"] for r in phase1_only)
+
+
+def test_fl_expr_projection(engine):
+    """lirefunc as a PROJECTION column (fl= analog), including the F9
+    URL-encode: the expression is evaluated over the projected fields."""
+    out = engine.search(text="readFile tokenBlock", rows=5,
+                        fl_expr="url_encode(concat(repo, '/', path))").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["fval"] == r["repo"].replace("/", "%2F") + "%2F" + \
+            r["path"].replace("/", "%2F")
