@@ -1115,6 +1115,41 @@ def m02(spark, sf_dir):
     return frame_sample(media, every_n=100).orderBy("media_id", "frame_idx")
 
 
+@_reg(
+    "m03_base64_payload",
+    """
+SELECT doc_id AS media_id,
+       base64(encode(text)) AS payload_b64,
+       length(base64(encode(text))) AS b64_len,
+       CASE WHEN decode(from_base64(base64(encode(text)))) = text
+            THEN 1 ELSE 0 END AS roundtrip_ok
+FROM documents WHERE doc_id < 50 ORDER BY media_id
+""",
+)
+def m03(spark, sf_dir):
+    """Base64 payload encode/decode roundtrip (SURVEY F3; ref: the
+    reference ships feature bytes as Base64 in XML updates,
+    ParallelSolrIndexer.java:471 Base64.encodeBase64String / histogram
+    decode in LireRequestHandler.java:471-477): binary payload -> base64
+    string -> decode must reproduce the original bytes exactly."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    media = F.encode(F.col("text"), "utf-8")
+    # Spark's base64 may emit RFC-2045 76-char line chunking (\r\n);
+    # canonical unchunked form for cross-engine equality
+    b64 = F.regexp_replace(F.base64(media), "[\\r\\n]", "")
+    return (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            b64.alias("payload_b64"),
+            F.length(b64).cast("long").alias("b64_len"),
+            F.when(F.decode(F.unbase64(b64), "utf-8") == F.col("text"),
+                   F.lit(1)).otherwise(F.lit(0)).cast("long")
+             .alias("roundtrip_ok"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---- the persisted-index path inside the judged gate -------------------------
 
 @_reg("w01_wand_topk_index", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
