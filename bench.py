@@ -84,7 +84,9 @@ def main() -> None:
              "open close send recv", "emit token batch row",
              "find join merge scan", "key val index query"]
     texts = {f"q{i}": qbase[i % len(qbase)] + f" mod{i % 7}" for i in range(60)}
-    eng.search(text="warm up", rows=5).collect()  # materialize pinned caches
+    # warm-up MUST hit indexed terms: an unknown-term query short-circuits
+    # before touching blocks, leaving the pinned caches cold
+    eng.search(text=qbase[0], rows=5).collect()
     t0 = time.time()
     eng.search_many(texts, rows=10).collect()
     dt = time.time() - t0

@@ -66,6 +66,12 @@ BLOCK_SCHEMA = (
 
 NATURAL_KEY = ["repo", "path", "commit"]
 
+# Blocks-stage Arrow groups are salted (see build_index group_salts) so one
+# group's posting rows stay near this bound regardless of shard size —
+# ~3 u64 numpy streams per row, so ~200 MB working set per task at the
+# default. Tuneable per deployment via the group_salts argument.
+TARGET_GROUP_ROWS = 8_000_000
+
 
 @dataclass
 class IndexMeta:
@@ -248,7 +254,7 @@ def build_index(
     with_hash_tokens: bool = True,
     shard_waves: int = 1,
     max_waves: int | None = None,
-    group_salts: int = 4,
+    group_salts: int | None = None,
 ) -> dict:
     """Build (or resume) the index. Returns the per-stage metrics dict.
 
@@ -260,9 +266,12 @@ def build_index(
     of ALL of them, so the per-task memory ceiling no longer forces
     num_shards to grow with the data. Blocks stay term-contiguous (a term
     maps to exactly one salt) and docID alignment is untouched, so the
-    output bytes are identical modulo file packing. Raise with data volume:
-    at 10^12 docs pick group_salts so a group's postings fit one executor
-    (e.g. shard_docs * avg_doclen / group_salts ~ 1-2 GB).
+    output bytes are identical modulo file packing. Default None = ADAPTIVE:
+    salts = ceil(estimated postings per (shard, field) group /
+    TARGET_GROUP_ROWS), i.e. 1 at small scale (no overhead) and growing
+    automatically with data volume so a group's numpy working set stays
+    bounded (~TARGET_GROUP_ROWS * 3 u64 streams ~ a few hundred MB) no
+    matter how large a shard gets.
     """
     spark = corpus.sparkSession
     p = _paths(index_dir)
@@ -330,6 +339,11 @@ def build_index(
         "shard", (F.col("docID") / F.lit(docs_per_shard)).cast("int")
     )
     avgdl = total_doclen / n_docs if n_docs else 0.0
+    if group_salts is None:
+        # adaptive: tf rows per (shard, field) group <= tokens per shard
+        per_group = total_doclen / max(num_shards, 1)
+        group_salts = max(1, int(-(-per_group // TARGET_GROUP_ROWS)))
+    metrics["group_salts"] = group_salts
 
     all_shards = list(range(num_shards))
     todo = [s for s in all_shards if s not in done_shards]
@@ -365,12 +379,15 @@ def build_index(
             # of tiny Arrow groups (per-group overhead dominates); grouping
             # by (shard,field) alone puts a whole shard in one task — the
             # build's memory ceiling at 100x scale.
-            salted = tf.withColumn(
-                "gsalt",
-                F.pmod(F.xxhash64("term"), F.lit(group_salts)).cast("int"))
-            blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
-                builder, schema=BLOCK_SCHEMA
-            )
+            if group_salts > 1:
+                salted = tf.withColumn(
+                    "gsalt",
+                    F.pmod(F.xxhash64("term"), F.lit(group_salts)).cast("int"))
+                blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
+                    builder, schema=BLOCK_SCHEMA)
+            else:
+                blocks = tf.groupBy("shard", "field").applyInArrow(
+                    builder, schema=BLOCK_SCHEMA)
             (blocks.sortWithinPartitions("field", "term", "block_seq")
              .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
 

@@ -159,12 +159,21 @@ def append_segment(
     tf = exploded.groupBy("shard", "field", "term", "docID").agg(
         F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
     builder = _block_builder(meta.block_size, BM25_K1, BM25_B, new_avgdl)
-    # same within-shard term-hash salt as the batch build: bounds one Arrow
-    # group to a fraction of a shard's postings (see build_index group_salts)
-    salted = tf.withColumn(
-        "gsalt", F.pmod(F.xxhash64("term"), F.lit(4)).cast("int"))
-    blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
-        builder, schema=BLOCK_SCHEMA)
+    # same adaptive within-shard term-hash salt as the batch build: bounds
+    # one Arrow group's postings regardless of segment size (see
+    # build_index group_salts / TARGET_GROUP_ROWS)
+    from liresolr_spark.plans.build import TARGET_GROUP_ROWS
+
+    n_seg_shards = max(new_shard_hi - base_shard, 1)
+    group_salts = max(1, int(-(-(dl_new / n_seg_shards) // TARGET_GROUP_ROWS)))
+    if group_salts > 1:
+        salted = tf.withColumn(
+            "gsalt", F.pmod(F.xxhash64("term"), F.lit(group_salts)).cast("int"))
+        blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
+            builder, schema=BLOCK_SCHEMA)
+    else:
+        blocks = tf.groupBy("shard", "field").applyInArrow(
+            builder, schema=BLOCK_SCHEMA)
     (blocks.sortWithinPartitions("field", "term", "block_seq")
      .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
 

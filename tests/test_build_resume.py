@@ -111,3 +111,33 @@ def test_fresh_build_overwrites_with_resume_false(
     m = build_index(corpus200, d, num_shards=8, block_size=64, resume=False)
     assert m["finished"] and m["resumed_shards_skipped"] == 0
     assert _fingerprint(spark, d) == _fingerprint(spark, baseline_index)
+
+
+def test_group_salt_is_query_invariant(spark, corpus200, tmp_path_factory):
+    """The blocks-stage term-hash salt (the 100x-scale memory bound) must
+    not change ANY observable: same dictionary df, same WAND top-k ids and
+    scores — only the grouping of work differs."""
+    import pyspark.sql.functions as F
+
+    from liresolr_spark.functions.tokenizer import py_tokenize
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import build_index
+
+    d1 = str(tmp_path_factory.mktemp("salt1"))
+    d4 = str(tmp_path_factory.mktemp("salt4"))
+    m1 = build_index(corpus200, d1, num_shards=4, block_size=64, group_salts=1)
+    m4 = build_index(corpus200, d4, num_shards=4, block_size=64, group_salts=4)
+    assert m1["group_salts"] == 1 and m4["group_salts"] == 4
+
+    dict1 = {(r["field"], r["term"]): r["df"]
+             for r in spark.read.parquet(f"{d1}/dictionary").collect()}
+    dict4 = {(r["field"], r["term"]): r["df"]
+             for r in spark.read.parquet(f"{d4}/dictionary").collect()}
+    assert dict1 == dict4
+
+    for q in ["readFile bufPack", "import return def"]:
+        r1 = [(r["docID"], round(r["score"], 10))
+              for r in wand_topk(spark, d1, py_tokenize(q), k=15).collect()]
+        r4 = [(r["docID"], round(r["score"], 10))
+              for r in wand_topk(spark, d4, py_tokenize(q), k=15).collect()]
+        assert r1 == r4, q
