@@ -126,6 +126,7 @@ def main() -> None:
                 summary[f"build_eff{tag}"] = pair.get("build_scaling_efficiency")
                 summary[f"build_speedup{tag}"] = pair.get("build_speedup")
                 summary[f"query_eff{tag}"] = pair.get("query_scaling_efficiency")
+                summary[f"served_eff{tag}"] = pair.get("served_scaling_efficiency")
         extras["scaling"] = summary
 
     total = round(sum(timings.values()), 3)

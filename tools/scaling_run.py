@@ -172,6 +172,7 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=32)
     ap.add_argument("--queries-only", action="store_true",
                     help="reuse an existing index; time only the query paths")
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     shards = args.shards or (64 if args.rows > 100000 else 32)
@@ -179,8 +180,10 @@ def main() -> None:
         child(args.child, args.rows, shards, queries_only=args.queries_only)
         return
 
-    lo = run_level(args.lo, args.rows, shards, queries_only=args.queries_only)
-    hi = run_level(args.hi, args.rows, shards, queries_only=args.queries_only)
+    lo = run_level(args.lo, args.rows, shards, repeats=args.repeats,
+                   queries_only=args.queries_only)
+    hi = run_level(args.hi, args.rows, shards, repeats=args.repeats,
+                   queries_only=args.queries_only)
     factor = hi["cores"] / lo["cores"]
     result = {
         "rows": lo["rows"],
