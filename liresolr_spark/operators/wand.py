@@ -176,9 +176,18 @@ def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
                 decoded[m] = hit
             return hit
 
+        # factorize terms ONCE per shard: a query's weight vector is then a
+        # vectorized gather over its per-unique-term idf table, O(U + R)
+        # instead of O(R) Python dict lookups per query
+        uniq_terms, term_codes = np.unique(terms, return_inverse=True)
+
         out = []
         for qid, idf in idfs.items():
-            w = np.array([idf.get(t, 0.0) for t in terms], dtype=np.float64)
+            tw = np.array([idf.get(t, 0.0) for t in uniq_terms],
+                          dtype=np.float64)
+            if not tw.any():
+                continue  # no overlap between this query and the shard
+            w = tw[term_codes]
             ub = np.bincount(inv, weights=w * bound_base,
                              minlength=len(uniq_seq))
             visit_order = np.argsort(-ub, kind="stable")
