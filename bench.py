@@ -97,7 +97,8 @@ def main() -> None:
     bench_set = [
         "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",
         "q09_pagination", "q13_candidate_union", "d01_exact_dedup",
-        "d03_minhash_lsh_pairs", "d04_simhash", "e01_ann_cosine_topk",
+        "q14_identity_cascade", "d03_minhash_lsh_pairs", "d04_simhash",
+        "d06_dedup_keeplist", "e01_ann_cosine_topk",
         "e03_embedding_neardup", "e04_band_join_neardup", "t01_language_id",
         "t03_token_counts", "t04_fingerprints", "r01_pricing_summary",
         "r02_top_customers", "m01_media_features",
