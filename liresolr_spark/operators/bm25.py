@@ -75,9 +75,13 @@ def bm25_scores_all(
     matches, it does not re-weight terms.
     """
     spark = docs.sparkSession
+    # fq is evaluated HERE, where every corpus column is still in scope,
+    # and carried as one boolean — the filter itself applies downstream of
+    # the query-term join (candidate restriction), while df stays global
     toks = docs.select(
         F.col(doc_id_col).alias("docID"),
         *(keep_cols or []),
+        (fq if fq is not None else F.lit(True)).alias("_fq_pass"),
         tokenize_expr(F.col(text_col)).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
 
@@ -87,12 +91,21 @@ def bm25_scores_all(
     n_docs, avgdl = stats["N"], stats["avgdl"]
 
     posting = toks.select(
-        "docID", "doclen", *(keep_cols or []), F.explode("tokens").alias("term")
+        "docID", "doclen", "_fq_pass", *(keep_cols or []),
+        F.explode("tokens").alias("term")
     )
     qdf = _query_terms_df(spark, query_terms)
-    candidates = posting if fq is None else posting.filter(fq)
+    # ONE corpus scan: both the tf aggregation (over fq-filtered candidates)
+    # and the df aggregation (global, per Lucene semantics) derive from the
+    # same query-term-joined postings, which are TINY relative to the corpus
+    # (only rows matching query terms) — persisted so the two aggregations
+    # don't each re-scan and re-tokenize the full corpus. Spark reuses
+    # exchanges, not arbitrary subtrees, so without the persist this plan
+    # tokenizes the corpus twice (measured in round-1's plan audit).
+    joined = posting.join(broadcast(qdf), "term").persist()
+    candidates = joined if fq is None else joined.filter(F.col("_fq_pass"))
     tf = (
-        candidates.join(broadcast(qdf), "term")
+        candidates
         .groupBy("docID", "term")
         .agg(
             F.count("*").alias("tf"),
@@ -102,7 +115,7 @@ def bm25_scores_all(
         )
     )
     dfreq = (
-        posting.join(broadcast(qdf.select("term")), "term")
+        joined
         .groupBy("term")
         .agg(F.countDistinct("docID").alias("df"))
     )
