@@ -93,6 +93,14 @@ class LireQueryEngine:
     def _docstats(self) -> DataFrame:
         return self._docstats_df
 
+    def _field_present(self, field: str) -> bool:
+        """True iff the index carries any terms for `field` (e.g. an index
+        built with with_hash_tokens=False has no 'ha' field)."""
+        if self._dict_map is not None:
+            return bool(self._dict_map.get(field))
+        return bool(
+            self._dictionary.filter(F.col("field") == field).head(1))
+
     def _check_clauses(self, terms: list[str]) -> list[str]:
         # ref: BooleanQuery.setMaxClauseCount(10000), SimilarRequestHandler.java:101
         if len(terms) > MAX_QUERY_TERMS:
@@ -291,11 +299,22 @@ class LireQueryEngine:
         ANTI-FILTERS those at or above it (SURVEY P4 predicate + P5
         anti-predicate). Our distance is 1/(1+BM25) mapped to (0,1] so
         lower = closer, like LIRE distances; ordering is by the verify
-        distance when present, else the phase-1 distance."""
+        distance when present, else the phase-1 distance.
+
+        Threshold scale note: since round 2, phase 1 runs on the 'ha'
+        HASH-TOKEN field (the cheap-feature analog), not the lexical field —
+        hash collisions fold distinct tokens together, so a threshold
+        calibrated on text-field scores should be re-calibrated. On an index
+        built with with_hash_tokens=False the engine falls back to the
+        lexical field for phase 1 (instead of silently matching nothing)."""
         terms = py_tokenize(text)
-        ha_terms = [py_hash_token(t) for t in terms]
-        # phase 1: cheap candidate pass on the hash field
-        cand = self._wand(ha_terms, k=candidates, field="ha")
+        # phase 1: cheap candidate pass on the hash field; an index without
+        # hash tokens degrades to the lexical field (documented fallback)
+        if self._field_present("ha"):
+            ha_terms = [py_hash_token(t) for t in terms]
+            cand = self._wand(ha_terms, k=candidates, field="ha")
+        else:
+            cand = self._wand(terms, k=candidates, field="text")
         cand = cand.withColumn("dist", 1.0 / (1.0 + F.col("score")))
         passed = cand.filter(F.col("dist") < threshold)
         if verify_threshold is not None:

@@ -99,17 +99,36 @@ LIMIT {k}
 """
 
 
+_CORPUS_STATS_CACHE: dict[str, tuple[int, float]] = {}
+
+
+def _doc_stats(spark, sf_dir) -> tuple[int, float]:
+    """Memoized (N, avgdl) for the documents table — the index-free analog
+    of meta.json's corpus statistics. Computed once per sf_dir, so each BM25
+    registry query costs ONE corpus scan (the posting join), not two."""
+    if sf_dir not in _CORPUS_STATS_CACHE:
+        from liresolr_spark.operators.bm25 import corpus_stats
+
+        _CORPUS_STATS_CACHE[sf_dir] = corpus_stats(
+            _docs(spark, sf_dir), text_col="text")
+    return _CORPUS_STATS_CACHE[sf_dir]
+
+
 def _bm25_spark(spark, sf_dir, query: str, k: int, fq=None) -> DataFrame:
+    from liresolr_spark.operators.bm25 import materialize_and_release
+
     docs = _docs(spark, sf_dir)
     scored = bm25_scores_all(
-        docs, py_tokenize(query), doc_id_col="doc_id", text_col="text", fq=fq
+        docs, py_tokenize(query), doc_id_col="doc_id", text_col="text", fq=fq,
+        stats=_doc_stats(spark, sf_dir),
     )
-    return (
+    topk = (
         scored.select(F.col("docID").alias("doc_id"),
                       F.round("score", 4).alias("score"))
         .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
         .limit(k)
     )
+    return materialize_and_release(topk, scored)
 
 
 # ---------------------------------------------------------------------------
@@ -854,18 +873,22 @@ def q14(spark, sf_dir):
         .groupBy("doc_id").agg(F.countDistinct("term").alias("overlap"))
         .filter(F.col("overlap") >= 3)
     )
+    from liresolr_spark.operators.bm25 import materialize_and_release
+
     scored = bm25_scores_all(
-        docs, terms, doc_id_col="doc_id", text_col="text")
+        docs, terms, doc_id_col="doc_id", text_col="text",
+        stats=_doc_stats(spark, sf_dir))
     verified = (
         scored.select(F.col("docID").alias("doc_id"),
                       F.round(1.0 / (1.0 + F.col("score")), 4).alias("dist"))
         .join(cand, "doc_id")
         .filter(F.col("dist") < 0.45)
     )
-    return (
+    topk = (
         verified.select("doc_id", "overlap", "dist")
         .orderBy(F.asc("dist"), F.asc("doc_id")).limit(30)
     )
+    return materialize_and_release(topk, scored)
 
 
 @_reg(

@@ -37,6 +37,21 @@ def idf_lucene(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "content") -> tuple[int, float]:
+    """(N, avgdl) for index-free scoring — ONE full tokenize scan.
+
+    At scale these are index-time artifacts (meta.json n_docs/avgdl, the
+    Lucene CollectionStatistics analog); callers that score the same corpus
+    repeatedly compute them once and pass them to `bm25_scores_all` so each
+    query costs a single corpus scan (the posting join), not two."""
+    row = (
+        docs.select(F.size(tokenize_expr(F.col(text_col))).alias("dl"))
+        .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    return int(row["N"]), float(row["avgdl"] or 0.0)
+
+
 def _query_terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
     """Distinct query terms with their query-side multiplicity (qtf).
 
@@ -61,6 +76,7 @@ def bm25_scores_all(
     b: float = BM25_B,
     fq=None,
     keep_cols: list[str] | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Index-free BM25 top-k straight off a corpus DataFrame.
 
@@ -73,6 +89,13 @@ def bm25_scores_all(
     fails to apply them — we apply, as Solr semantics intend). Index-level
     statistics (N, avgdl, df) stay global, exactly like Lucene: fq narrows
     matches, it does not re-weight terms.
+
+    stats: optional precomputed (N, avgdl) — see `corpus_stats`. Without it
+    every call pays an extra full tokenize scan just for the two scalars.
+
+    The returned plan carries a persisted intermediate (the query-joined
+    postings); its handle is attached as `._lsr_cached` so callers unpersist
+    after the consuming action. `bm25_score_corpus` does this automatically.
     """
     spark = docs.sparkSession
     # fq is evaluated HERE, where every corpus column is still in scope,
@@ -85,10 +108,13 @@ def bm25_scores_all(
         tokenize_expr(F.col(text_col)).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
 
-    stats = toks.agg(
-        F.count("*").alias("N"), F.avg("doclen").alias("avgdl")
-    ).first()
-    n_docs, avgdl = stats["N"], stats["avgdl"]
+    if stats is None:
+        row = toks.agg(
+            F.count("*").alias("N"), F.avg("doclen").alias("avgdl")
+        ).first()
+        n_docs, avgdl = row["N"], row["avgdl"]
+    else:
+        n_docs, avgdl = stats
 
     posting = toks.select(
         "docID", "doclen", "_fq_pass", *(keep_cols or []),
@@ -133,6 +159,7 @@ def bm25_scores_all(
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
     )
+    scored._lsr_cached = joined  # release after the consuming action
     return scored
 
 
@@ -146,12 +173,30 @@ def bm25_score_corpus(
     b: float = BM25_B,
     fq=None,
     keep_cols: list[str] | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k wrapper over `bm25_scores_all` with the engine's total order
-    (score desc, docID asc — the deterministic TreeSet analog)."""
+    (score desc, docID asc — the deterministic TreeSet analog).
+
+    Eager: materializes the k result rows (bounded, driver-safe) so the
+    persisted posting join can be released before returning — repeated
+    calls leave nothing behind in the cluster cache."""
     scored = bm25_scores_all(docs, query_terms, doc_id_col, text_col, k1, b,
-                             fq, keep_cols)
-    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+                             fq, keep_cols, stats)
+    topk = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+    return materialize_and_release(topk, scored)
+
+
+def materialize_and_release(topk: DataFrame, scored: DataFrame) -> DataFrame:
+    """Collect a BOUNDED top-k result and unpersist the `._lsr_cached`
+    intermediate attached by `bm25_scores_all`. The k collected rows come
+    straight back as a local-relation DataFrame with the same schema, so
+    downstream re-consumption never recomputes the corpus scan."""
+    rows = topk.collect()
+    cached = getattr(scored, "_lsr_cached", None)
+    if cached is not None:
+        cached.unpersist()
+    return topk.sparkSession.createDataFrame(rows, topk.schema)
 
 
 def bm25_topk_from_index(

@@ -255,6 +255,7 @@ def build_index(
     shard_waves: int = 1,
     max_waves: int | None = None,
     group_salts: int | None = None,
+    applied_epochs: list | None = None,
 ) -> dict:
     """Build (or resume) the index. Returns the per-stage metrics dict.
 
@@ -272,6 +273,11 @@ def build_index(
     automatically with data volume so a group's numpy working set stays
     bounded (~TARGET_GROUP_ROWS * 3 u64 streams ~ a few hundred MB) no
     matter how large a shard gets.
+
+    applied_epochs: streaming-epoch ledger entries to commit WITH the meta —
+    a foreachBatch first build passes its epoch so the ledger and the index
+    statistics land in ONE atomic rename (a crash can never record one
+    without the other, which would re-append the batch on retry).
     """
     spark = corpus.sparkSession
     p = _paths(index_dir)
@@ -432,6 +438,8 @@ def build_index(
             hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
             format_version=INDEX_FORMAT_VERSION,
             total_doclen=total_doclen,
+            applied_epochs=(sorted(applied_epochs)
+                            if applied_epochs is not None else None),
         )
         write_meta(index_dir, meta)
 

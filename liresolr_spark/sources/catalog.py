@@ -32,14 +32,44 @@ into the catalog.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
 
+# file extensions that mark a source string as a DATA PATH even when it has
+# no path separator (e.g. a bare relative 'corpus.parquet')
+_DATA_EXTENSIONS = (".parquet", ".pq", ".orc", ".json", ".jsonl", ".csv",
+                    ".avro", ".txt")
+
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}$")
+
 
 def is_table_identifier(source: str) -> bool:
-    """Table identifiers (`cat.db.t`) have no path separators or scheme."""
-    return "/" not in source and "\\" not in source and "://" not in source
+    """Classify a source string as catalog TABLE vs file PATH.
+
+    An explicit `table:` prefix always means table. Otherwise a string is a
+    table identifier only if it (a) has no path separator or scheme, (b) is
+    not an existing local path, (c) does not end in a known data-file
+    extension, and (d) shapes like a 1-3 part SQL identifier (`cat.db.t`).
+    The extension/existence guards keep bare relative names like
+    'corpus.parquet' or 'data_dir' on the parquet branch they historically
+    used — catalog dispatch never hijacks a path-looking string."""
+    if source.startswith("table:"):
+        return True
+    if "/" in source or "\\" in source or "://" in source:
+        return False
+    if source.lower().endswith(_DATA_EXTENSIONS):
+        return False
+    if os.path.exists(source):
+        return False
+    return bool(_IDENTIFIER_RE.match(source))
+
+
+def _table_name(source: str) -> str:
+    return source[len("table:"):] if source.startswith("table:") else source
 
 
 def iceberg_available(spark: SparkSession, catalog: str | None = None) -> bool:
@@ -63,7 +93,7 @@ def iceberg_available(spark: SparkSession, catalog: str | None = None) -> bool:
 def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     """Load the corpus from an Iceberg/catalog table or a parquet path."""
     if is_table_identifier(source):
-        return spark.read.table(source)
+        return spark.read.table(_table_name(source))
     return spark.read.parquet(source)
 
 
@@ -71,7 +101,7 @@ def write_corpus(df: DataFrame, target: str, mode: str = "append") -> None:
     """Write corpus rows to an Iceberg/catalog table (V2 writer: atomic
     snapshot append / replace) or a parquet path (mode semantics)."""
     if is_table_identifier(target):
-        writer = df.writeTo(target)
+        writer = df.writeTo(_table_name(target))
         if mode == "overwrite":
             writer.createOrReplace()
         else:

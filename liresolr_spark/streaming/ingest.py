@@ -84,14 +84,15 @@ def append_segment(
     """
     p = _paths(index_dir)
     if not os.path.exists(p["meta"]):
-        m = build_index(batch, index_dir,
-                        num_shards=num_shards or 8,
-                        block_size=block_size or 128)
-        if epoch_id is not None:
-            meta = read_meta(index_dir)
-            meta.applied_epochs = [epoch_id]
-            write_meta(index_dir, meta)
-        return m
+        # first build: the epoch ledger rides INSIDE build_index's single
+        # meta commit — stats and ledger land in one atomic rename, so a
+        # crash can't leave meta committed but the epoch unrecorded (the
+        # retry would then re-append this same batch)
+        return build_index(
+            batch, index_dir,
+            num_shards=num_shards or 8,
+            block_size=block_size or 128,
+            applied_epochs=[epoch_id] if epoch_id is not None else None)
 
     if epoch_id is not None and epoch_id in _applied_epochs(index_dir):
         return {"skipped_epoch": epoch_id}
