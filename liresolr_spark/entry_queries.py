@@ -1234,6 +1234,51 @@ def m03(spark, sf_dir):
 
 # ---- the persisted-index path inside the judged gate -------------------------
 
+def _docs_as_corpus(docs: DataFrame) -> DataFrame:
+    """Map the driver's documents table into the engine's corpus schema."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _entry_index(spark, sf_dir: str) -> str:
+    """Build (once, cached per sf_dir + format version) a real sharded index
+    over the documents table; shared by the index-path registry entries."""
+    import hashlib as _h
+    import os as _os
+
+    from liresolr_spark import INDEX_FORMAT_VERSION
+    from liresolr_spark.plans.build import build_index, read_meta
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/liresolr_entry_index_{tag}"
+    stale = (not _os.path.exists(f"{idx}/meta.json")
+             or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
+    if stale:
+        import shutil as _sh
+
+        _sh.rmtree(idx, ignore_errors=True)
+        build_index(_docs_as_corpus(_docs(spark, sf_dir)), idx,
+                    num_shards=8, block_size=128, with_hash_tokens=False)
+    return idx
+
+
+def _hits_to_doc_ids(spark, idx: str, hits: DataFrame) -> DataFrame:
+    stats = spark.read.parquet(f"{idx}/docstats").select(
+        "docID", F.col("path").cast("long").alias("doc_id"))
+    return (
+        hits.join(stats, "docID")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 @_reg("w01_wand_topk_index", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
 def w01(spark, sf_dir):
     """Block-max WAND top-k THROUGH the persisted block index, verified
@@ -1244,44 +1289,31 @@ def w01(spark, sf_dir):
     table mapped into the corpus schema, queries it distributed, and maps
     engine docIDs back to doc_id via docstats.
     """
-    import hashlib as _h
-    import os as _os
-
     from liresolr_spark.functions.tokenizer import py_tokenize as _pt
     from liresolr_spark.operators.wand import wand_topk
-    from liresolr_spark.plans.build import build_index
-    from liresolr_spark.ship import ship_package
 
-    ship_package(spark)
-    from liresolr_spark import INDEX_FORMAT_VERSION
-    from liresolr_spark.plans.build import read_meta
-
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/liresolr_entry_index_{tag}"
-    stale = (not _os.path.exists(f"{idx}/meta.json")
-             or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
-    if stale:
-        import shutil as _sh
-
-        _sh.rmtree(idx, ignore_errors=True)
-        docs = _docs(spark, sf_dir)
-        corpus = docs.select(
-            F.col("source").alias("repo"),
-            F.col("doc_id").cast("string").alias("path"),
-            F.md5("text").alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
-        build_index(corpus, idx, num_shards=8, block_size=128,
-                    with_hash_tokens=False)
+    idx = _entry_index(spark, sf_dir)
     hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
-    stats = spark.read.parquet(f"{idx}/docstats").select(
-        "docID", F.col("path").cast("long").alias("doc_id"))
-    return (
-        hits.join(stats, "docID")
-        .select("doc_id", F.round("score", 4).alias("score"))
-        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
-    )
+    return _hits_to_doc_ids(spark, idx, hits)
+
+
+@_reg("q16_bm25_fq_index", _bm25_sql(FQ_QUERY, K_DEFAULT, fq_where="d.lang = 'en'"))
+def q16(spark, sf_dir):
+    """Filter query PUSHED INTO the WAND index path (round-2 verdict fix):
+    the fq-passing docIDs are cogrouped into the shard kernel as an
+    allow-list, so the top-k is exact UNDER the filter — held to the same
+    DuckDB oracle as the index-free q02 (ref: fq handling
+    LireRequestHandler.java:539-550; Lucene analog: filter bitset ANDed
+    into the collector)."""
+    from liresolr_spark.functions.tokenizer import py_tokenize as _pt
+    from liresolr_spark.operators.wand import wand_topk
+
+    idx = _entry_index(spark, sf_dir)
+    allow = (spark.read.parquet(f"{idx}/docstats")
+             .filter(F.col("lang") == "en").select("shard", "docID"))
+    hits = wand_topk(spark, idx, _pt(FQ_QUERY), k=K_DEFAULT,
+                     allow_docids=allow)
+    return _hits_to_doc_ids(spark, idx, hits)
 
 
 @_reg("s01_incremental_append", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))

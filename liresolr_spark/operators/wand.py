@@ -44,15 +44,59 @@ from liresolr_spark.operators.bm25 import idf_lucene
 from liresolr_spark.plans.build import read_meta
 
 
+def _mask_from_pdf(mask_pdf: pd.DataFrame | None, allow_mode: bool):
+    """Per-shard docID restriction from a cogrouped (docID, allow) frame.
+
+    Returns (allow_sorted | None, deny_sorted | None). allow_mode=True means
+    an allow-list is ACTIVE globally (fq pushdown): a shard with zero allow
+    rows then matches nothing — an empty sorted array, not None."""
+    allow = deny = None
+    if mask_pdf is not None and len(mask_pdf):
+        ids = mask_pdf["docID"].values.astype(np.int64)
+        flags = mask_pdf["allow"].values.astype(bool)
+        if allow_mode:
+            allow = np.sort(ids[flags])
+        if (~flags).any():
+            deny = np.sort(ids[~flags])
+    elif allow_mode:
+        allow = np.empty(0, dtype=np.int64)
+    return allow, deny
+
+
+def _apply_mask(ids, scores, allow, deny):
+    if allow is None and deny is None:
+        return ids, scores
+    keep = np.ones(len(ids), dtype=bool)
+    if allow is not None:
+        keep &= np.isin(ids, allow)
+    if deny is not None:
+        keep &= ~np.isin(ids, deny)
+    return ids[keep], scores[keep]
+
+
 def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
-                  block_size: int, acc_total=None, acc_visited=None):
+                  block_size: int, acc_total=None, acc_visited=None,
+                  allow_mode: bool = False):
     """Returns the applyInPandas kernel: (shard's query-term blocks) -> topk.
 
     acc_total/acc_visited: optional Spark accumulators counting aligned
     docID ranges considered vs actually decoded — the observable WAND
-    saving (ranges never visited are never decompressed)."""
+    saving (ranges never visited are never decompressed).
 
-    def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
+    The kernel optionally takes a second frame (docID, allow) — the
+    cogrouped per-shard docID restriction. allow=True rows form an fq
+    allow-list (pushed-down filter query: top-k is then exact UNDER the
+    filter, ref fq semantics LireRequestHandler.java:539-550); allow=False
+    rows are tombstones (docs superseded by a cross-segment overwrite,
+    excluded from results but still counted in df/avgdl until compaction —
+    exactly Lucene's deleted-docs statistics behavior). Masking happens
+    BEFORE the running top-k/theta update, so a filtered doc can never
+    displace an eligible one; the block upper bounds remain valid bounds
+    for the masked subset, so WAND pruning stays safe."""
+
+    def kernel(blocks: pd.DataFrame, mask_pdf: pd.DataFrame | None = None
+               ) -> pd.DataFrame:
+        allow, deny = _mask_from_pdf(mask_pdf, allow_mode)
         if len(blocks) == 0:
             return pd.DataFrame({"docID": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
@@ -111,6 +155,11 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
                 sc_all.append(sc)
             ids_cat = np.concatenate(ids_all)
             sc_cat = np.concatenate(sc_all)
+            # restriction BEFORE the heap/theta update: a filtered doc must
+            # never occupy a top-k slot or raise theta
+            ids_cat, sc_cat = _apply_mask(ids_cat, sc_cat, allow, deny)
+            if not len(ids_cat):
+                continue
             # accumulate per docID within the range (range is small: <= block_size docs)
             lo = ids_cat.min()
             acc = np.bincount(ids_cat - lo, weights=sc_cat)
@@ -133,13 +182,20 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
     return kernel
 
 
-def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
+def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float,
+                       allow_mode: bool = False):
     """Batched variant: Q queries against one shard's blocks in a single
     kernel invocation. Each block is DECODED AT MOST ONCE across all queries
     (memoized) — hot terms shared by many queries amortize to one
-    decompression — and WAND range-pruning still applies per query."""
+    decompression — and WAND range-pruning still applies per query.
 
-    def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
+    Optional second frame = per-shard docID restriction (see _shard_kernel);
+    it is query-independent, so the mask is applied once inside the decode
+    memo and shared by every query."""
+
+    def kernel(blocks: pd.DataFrame, mask_pdf: pd.DataFrame | None = None
+               ) -> pd.DataFrame:
+        allow, deny = _mask_from_pdf(mask_pdf, allow_mode)
         empty = pd.DataFrame({"qid": pd.Series(dtype="object"),
                               "docID": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
@@ -172,7 +228,9 @@ def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
                 # idf-free per-posting contribution; a query scales it by w
                 part = tf_f * (k1 + 1.0) / (
                     tf_f + k1 * (1.0 - b + b * dls / avgdl))
-                hit = (ids.astype(np.int64), part)
+                ids_m, part_m = _apply_mask(
+                    ids.astype(np.int64), part, allow, deny)
+                hit = (ids_m, part_m)
                 decoded[m] = hit
             return hit
 
@@ -208,6 +266,8 @@ def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
                     continue
                 ids_cat = np.concatenate(ids_all)
                 sc_cat = np.concatenate(sc_all)
+                if not len(ids_cat):  # every posting masked out
+                    continue
                 lo = ids_cat.min()
                 acc = np.bincount(ids_cat - lo, weights=sc_cat)
                 nz = np.nonzero(acc)[0]
@@ -225,6 +285,24 @@ def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float):
     return kernel
 
 
+def _restrict_df(allow_docids: DataFrame | None,
+                 deny_docids: DataFrame | None) -> DataFrame | None:
+    """Combine optional allow (fq) / deny (tombstone) docID sets into ONE
+    (shard, docID, allow) frame for the cogrouped kernel. Scale note: the
+    deny side is tiny (only superseded docs); the allow side is proportional
+    to fq selectivity — the pushdown is meant for SELECTIVE filters, exactly
+    the case the post-filter silently breaks. At 10^12 docs an unselective
+    fq would instead use a per-shard bitmap artifact; the cogroup seam stays
+    the same."""
+    out = None
+    if allow_docids is not None:
+        out = allow_docids.select("shard", "docID", F.lit(True).alias("allow"))
+    if deny_docids is not None:
+        d = deny_docids.select("shard", "docID", F.lit(False).alias("allow"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def wand_topk_many(
     spark: SparkSession,
     index_dir: str,
@@ -235,6 +313,8 @@ def wand_topk_many(
     dictionary_df: DataFrame | None = None,
     dictionary_map: dict | None = None,
     meta=None,
+    allow_docids: DataFrame | None = None,
+    deny_docids: DataFrame | None = None,
 ) -> DataFrame:
     """Batched block-max WAND: ALL queries answered in ONE distributed job.
 
@@ -279,9 +359,17 @@ def wand_topk_many(
     ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
              "max_tf", "min_dl")
 
-    kernel = _shard_kernel_many(idfs, k, meta.k1, meta.b, meta.avgdl)
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        lambda bl: kernel(bl), schema="qid string, docID long, score double")
+    kernel = _shard_kernel_many(idfs, k, meta.k1, meta.b, meta.avgdl,
+                                allow_mode=allow_docids is not None)
+    schema = "qid string, docID long, score double"
+    restrict = _restrict_df(allow_docids, deny_docids)
+    if restrict is None:
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            lambda bl: kernel(bl), schema=schema)
+    else:
+        per_shard = blocks.groupBy("shard").cogroup(
+            restrict.groupBy("shard")
+        ).applyInPandas(lambda bl, mk: kernel(bl, mk), schema=schema)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
     return (per_shard.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
@@ -298,8 +386,15 @@ def wand_topk(
     dictionary_map: dict | None = None,
     meta=None,
     stats_out: dict | None = None,
+    allow_docids: DataFrame | None = None,
+    deny_docids: DataFrame | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k: returns DataFrame(docID, score), globally exact.
+
+    allow_docids / deny_docids: optional (shard, docID) restriction frames,
+    cogrouped into the shard kernel. allow = pushed-down fq (top-k is exact
+    UNDER the filter — no candidate-pool recall loss); deny = tombstoned
+    docs (cross-segment overwrites). See _shard_kernel.
 
     blocks_df / dictionary_df / meta: optional pre-loaded handles (a serving
     layer caches these once per index — repeated queries then skip file
@@ -348,8 +443,16 @@ def wand_topk(
         stats_out["ranges_visited"] = acc_visited
 
     kernel = _shard_kernel(idf, k, meta.k1, meta.b, meta.avgdl,
-                           meta.block_size, acc_total, acc_visited)
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        lambda bl: kernel(bl), schema="docID long, score double")
+                           meta.block_size, acc_total, acc_visited,
+                           allow_mode=allow_docids is not None)
+    schema = "docID long, score double"
+    restrict = _restrict_df(allow_docids, deny_docids)
+    if restrict is None:
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            lambda bl: kernel(bl), schema=schema)
+    else:
+        per_shard = blocks.groupBy("shard").cogroup(
+            restrict.groupBy("shard")
+        ).applyInPandas(lambda bl, mk: kernel(bl, mk), schema=schema)
     # global merge: bounded heap per partition + driver merge (TakeOrderedAndProject)
     return per_shard.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -137,3 +137,45 @@ def test_block_max_is_upper_bound(spark, indexed):
         mtf, mdl = float(r["max_tf"]), float(r["min_dl"])
         ub = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
         assert norm.max() <= ub + 1e-12
+
+
+def test_fq_allow_pushdown_exact_under_filter(spark, indexed, vocab):
+    """fq pushed into the shard kernel: top-k must be exact UNDER the
+    filter — equal to the full exhaustive ranking restricted to fq-passing
+    docs — even when k is small enough that the unfiltered pool would have
+    lost filtered matches (the round-2 post-filter recall bug)."""
+    stats = spark.read.parquet(f"{indexed}/docstats")
+    langs = [r["lang"] for r in stats.groupBy("lang").count()
+             .orderBy("count").collect()]
+    lang = langs[0]  # rarest language -> most selective filter
+    allow = stats.filter(F.col("lang") == lang).select("shard", "docID")
+    allowed_ids = {r["docID"] for r in allow.collect()}
+    assert 0 < len(allowed_ids) < 200
+
+    q = [vocab[0][0], vocab[5][0], vocab[20][0]]
+    full = bm25_topk_from_index(spark, indexed, q, k=200).collect()
+    want = [(r["docID"], r["score"]) for r in full
+            if r["docID"] in allowed_ids][:5]
+    got = [(r["docID"], r["score"])
+           for r in wand_topk(spark, indexed, q, k=5,
+                              allow_docids=allow).collect()]
+    assert got == want
+    # the scenario is the dangerous one: unfiltered top-5 differs
+    assert [(r["docID"], r["score"]) for r in full[:5]] != want
+
+
+def test_deny_tombstones_excluded(spark, indexed, vocab):
+    """deny_docids (tombstoned docs) are excluded from results BEFORE the
+    heap — the survivors are exactly the full ranking minus the denied."""
+    q = [vocab[0][0], vocab[3][0]]
+    full = bm25_topk_from_index(spark, indexed, q, k=200).collect()
+    denied = {r["docID"] for r in full[:3]}  # kill the top 3
+    stats = spark.read.parquet(f"{indexed}/docstats")
+    deny = stats.filter(F.col("docID").isin(list(denied))).select(
+        "shard", "docID")
+    want = [(r["docID"], r["score"]) for r in full
+            if r["docID"] not in denied][:10]
+    got = [(r["docID"], r["score"])
+           for r in wand_topk(spark, indexed, q, k=10,
+                              deny_docids=deny).collect()]
+    assert got == want
