@@ -58,6 +58,17 @@ class LireQueryEngine:
         if self.pin_blocks:
             self._blocks = self._blocks.cache()
             self._docstats_df = self._docstats_df.cache()
+        # tombstones: docs superseded by cross-segment overwrites — excluded
+        # from RESULTS (kernel deny-list + docstats anti-join) while df/N
+        # keep counting them until compaction, exactly Lucene's deleted-docs
+        # statistics behavior (see streaming.ingest / plans.compact)
+        from liresolr_spark.plans.build import load_tombstones
+
+        tombs = load_tombstones(self.spark, self.index_dir)
+        if tombs is not None and tombs.head(1):
+            self._deny = tombs.select("shard", "docID").distinct().cache()
+        else:
+            self._deny = None
         self._dictionary = self.spark.read.parquet(
             f"{self.index_dir}/dictionary").cache()
         merged = self._dictionary.groupBy("field", "term").agg(
@@ -77,6 +88,8 @@ class LireQueryEngine:
         that skips this serves the PREVIOUS snapshot consistently — caches
         are never half-refreshed."""
         self._dictionary.unpersist()
+        if self._deny is not None:
+            self._deny.unpersist()
         if self.pin_blocks:
             self._blocks.unpersist()
             self._docstats_df.unpersist()
@@ -87,12 +100,15 @@ class LireQueryEngine:
             self.spark, self.index_dir, terms, k=k, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
             dictionary_map=self._dict_map, meta=self.meta,
-            allow_docids=allow_docids)
+            allow_docids=allow_docids, deny_docids=self._deny)
 
     # -- internals ----------------------------------------------------------
 
     def _docstats(self) -> DataFrame:
-        return self._docstats_df
+        if self._deny is None:
+            return self._docstats_df
+        return self._docstats_df.join(
+            self._deny.select("docID"), "docID", "left_anti")
 
     def _field_present(self, field: str) -> bool:
         """True iff the index carries any terms for `field` (e.g. an index
@@ -232,7 +248,8 @@ class LireQueryEngine:
         hits = wand_topk_many(
             self.spark, self.index_dir, queries, k=rows, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
-            dictionary_map=self._dict_map, meta=self.meta)
+            dictionary_map=self._dict_map, meta=self.meta,
+            deny_docids=self._deny)
         stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
         out = hits.join(stats, "docID").select(
             "qid", "docID", "repo", "path", "commit", "lang", "score"

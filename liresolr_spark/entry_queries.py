@@ -1369,6 +1369,54 @@ def s01(spark, sf_dir):
     )
 
 
+@_reg("s02_overwrite_compact", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
+def s02(spark, sf_dir):
+    """Cross-segment OVERWRITE + COMPACTION (round-2 verdict items 1-2; ref:
+    Solr overwrite=true via the unique-key map, scripts/add_histograms.py:40,
+    physically applied by Lucene's background merges behind commitWithin):
+    epoch 0 ingests every document with STALE content (query terms appended,
+    so retained stale copies would provably distort df/tf/scores), epoch 1
+    re-ingests the true content under the same (repo, path) unique key —
+    tombstoning all of epoch 0 — and compact_index merges the segments,
+    drops the superseded docs, renumbers, and recomputes exact statistics.
+    The compacted index must answer the SAME BM25 oracle as a clean build
+    of the true corpus (q01's SQL), through the driver's DuckDB gate."""
+    import hashlib as _h
+    import os as _os
+
+    from liresolr_spark import INDEX_FORMAT_VERSION
+    from liresolr_spark.functions.tokenizer import py_tokenize as _pt
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import read_meta
+    from liresolr_spark.plans.compact import compact_index
+    from liresolr_spark.ship import ship_package
+    from liresolr_spark.streaming.ingest import append_segment
+
+    ship_package(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/liresolr_entry_overwrite_{tag}"
+    stale_marker = (not _os.path.exists(f"{idx}/meta.json")
+                    or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
+    if stale_marker:
+        import shutil as _sh
+
+        _sh.rmtree(idx, ignore_errors=True)
+        raw = idx + ".raw"
+        _sh.rmtree(raw, ignore_errors=True)
+        corpus = _docs_as_corpus(_docs(spark, sf_dir))
+        stale = corpus.withColumn(
+            "content",
+            F.concat(F.col("content"),
+                     F.lit(f"\n{FLAGSHIP_QUERY} {FLAGSHIP_QUERY}")),
+        ).withColumn("commit", F.md5("content"))
+        append_segment(stale, raw, epoch_id=0, num_shards=4, block_size=128)
+        append_segment(corpus, raw, epoch_id=1)
+        compact_index(spark, raw, out_dir=idx, num_shards=8)
+        _sh.rmtree(raw, ignore_errors=True)
+    hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
+    return _hits_to_doc_ids(spark, idx, hits)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -98,9 +98,23 @@ def _paths(index_dir: str) -> dict:
         "blocks": os.path.join(index_dir, "blocks"),
         "dictionary": os.path.join(index_dir, "dictionary"),
         "manifest": os.path.join(index_dir, "manifest"),
+        "tombstones": os.path.join(index_dir, "tombstones"),
         "meta": os.path.join(index_dir, "meta.json"),
         "metrics": os.path.join(index_dir, "metrics.json"),
     }
+
+
+TOMBSTONE_SCHEMA = "docID long, shard int, seg int"
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(docID, shard, seg) rows for docs superseded by a cross-segment
+    overwrite (see streaming.ingest). None if the index has none. Schema is
+    explicit so a dir holding only empty segments reads cleanly."""
+    p = _paths(index_dir)["tombstones"]
+    if not os.path.exists(p):
+        return None
+    return spark.read.schema(TOMBSTONE_SCHEMA).parquet(p)
 
 
 def read_meta(index_dir: str) -> IndexMeta:

@@ -29,11 +29,17 @@ Live query engines cache index handles; after a committed append, call
 `LireQueryEngine.refresh()` (the Solr searcher-reopen analog) to pick up
 the new segments and updated global statistics.
 
-Semantics note (documented deviation): dedup-by-natural-key applies WITHIN
-a batch only. Cross-segment duplicates are retained, exactly like Lucene
-holds superseded docs until a merge; the reference's overwrite=true relies
-on Solr's per-core unique-key map, which has no streaming-safe distributed
-equivalent without a corpus-wide shuffle per batch.
+Cross-segment OVERWRITE semantics (ref: scripts/add_histograms.py:40
+`overwrite=true` — Solr's unique-key replace): when an appended batch
+carries a UNIQUE_KEY (repo, path) already present in earlier segments, the
+older docIDs are recorded as TOMBSTONES (`tombstones/seg=<segment>` rows,
+committed under the same idempotent retry discipline as the dictionary
+fragments). Query paths exclude tombstoned docs from RESULTS via the WAND
+kernels' deny-list and a docstats anti-join; index-level statistics
+(df/N/avgdl) keep counting superseded docs until compaction — exactly
+Lucene's deleted-docs behavior, where docFreq includes deletes until a
+segment merge. `plans.compact.compact_index` (the Lucene merge analog)
+physically drops tombstoned docs, renumbers, and restores exact statistics.
 """
 
 from __future__ import annotations
@@ -56,6 +62,12 @@ from liresolr_spark.plans.build import (
 from liresolr_spark.plans.build import BLOCK_SCHEMA
 from liresolr_spark.functions.tokenizer import tokenize_expr
 from liresolr_spark.sources.corpus import assign_doc_ids
+
+# Solr-style unique key for cross-segment overwrite: re-adding the same
+# (repo, path) — a new commit/content of the same file — supersedes the old
+# version (last-write-wins, like the reference's overwrite=true). The full
+# NATURAL_KEY (with commit) still governs within-batch dedup.
+UNIQUE_KEY = ["repo", "path"]
 
 
 def _applied_epochs(index_dir: str) -> set[int]:
@@ -141,7 +153,8 @@ def append_segment(
     # mode('append') writes (round-1 advice: a crash between the fragment
     # append and the meta commit must not double df on retry).
     for key, prefix in (("docstats", "shard="), ("blocks", "shard="),
-                        ("manifest", "shard="), ("dictionary", "seg=")):
+                        ("manifest", "shard="), ("dictionary", "seg="),
+                        ("tombstones", "seg=")):
         base = p[key]
         if os.path.exists(base):
             for d in os.listdir(base):
@@ -153,6 +166,26 @@ def append_segment(
         F.sha2(F.col("content"), 256).alias("sha256"),
     )
     docstats.write.mode("append").partitionBy("shard").parquet(p["docstats"])
+
+    # cross-segment overwrite (Solr overwrite=true, ref:
+    # scripts/add_histograms.py:40): docIDs in EARLIER segments whose
+    # UNIQUE_KEY reappears in this batch are superseded — last write wins.
+    # Recorded as tombstones under this segment's seg= dir (same idempotent
+    # retry unit as the dictionary fragment); the shuffle is bounded by the
+    # batch's key count (leftsemi against a batch-sized key set), never a
+    # corpus-wide dedup. Query paths deny-list these docIDs; compaction
+    # physically removes them.
+    existing = spark.read.parquet(p["docstats"]).filter(
+        F.col("shard") < base_shard).select("docID", "shard", *UNIQUE_KEY)
+    new_keys = docs.select(*UNIQUE_KEY).distinct()
+    (existing.join(new_keys, UNIQUE_KEY, "leftsemi")
+     .select("docID", F.col("shard").cast("int").alias("shard"))
+     .withColumn("seg", F.lit(base_shard))
+     .write.mode("append").partitionBy("seg").parquet(p["tombstones"]))
+    from liresolr_spark.plans.build import load_tombstones
+
+    n_tombs = load_tombstones(spark, index_dir).filter(
+        F.col("seg") == base_shard).count()
 
     from liresolr_spark.plans.build import exploded_terms
 
@@ -217,7 +250,7 @@ def append_segment(
         meta.applied_epochs = sorted(applied)
     write_meta(index_dir, meta)
     return {"appended_docs": n_new, "new_shards": new_shard_hi - base_shard,
-            "n_docs": new_n, "avgdl": new_avgdl}
+            "n_docs": new_n, "avgdl": new_avgdl, "tombstoned_docs": n_tombs}
 
 
 def incremental_index(
