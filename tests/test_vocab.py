@@ -72,3 +72,25 @@ def test_ivf_probe_subset_is_recall_bounded(spark, emb, centers):
     qcell = words[3]
     for r in got:
         assert words[r["id"]] == qcell
+
+
+def test_ivf_build_query_matches_adhoc_and_prunes(spark, emb, centers,
+                                                  tmp_path_factory):
+    """The materialized build/query split must return exactly what the
+    ad-hoc in-plan variant returns (same centroids, same nprobe), and the
+    probe must reach the scan as a partition filter on `word` — the point
+    of writing the table word-partitioned."""
+    from liresolr_spark.ops.vocab import ivf_build, ivf_query, ivf_topk
+
+    d = str(tmp_path_factory.mktemp("ivf")) + "/table"
+    ivf_build(emb, centers, d)
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    for nprobe in (1, 2, len(centers)):
+        want = [(r["id"], round(r["cosine"], 9))
+                for r in ivf_topk(emb, centers, q, 12, nprobe=nprobe).collect()]
+        got_df = ivf_query(spark, d, centers, q, 12, nprobe=nprobe)
+        got = [(r["id"], round(r["cosine"], 9)) for r in got_df.collect()]
+        assert got == want, nprobe
+    plan = ivf_query(spark, d, centers, q, 5, nprobe=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "word" in plan
