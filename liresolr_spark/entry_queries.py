@@ -1016,6 +1016,83 @@ def e05b(spark, sf_dir):
     return ivf_query(spark, ivf, centers, qvec, k=20, nprobe=len(centers))
 
 
+_SETSIM_Q_SET = 1      # query = descriptor set of set_id 1
+_SETSIM_MOD = 25       # embeddings grouped into 25 sets by vec_id % 25
+
+_SETSIM_COS = ("list_dot_product(m.v, q.v) / (sqrt(list_dot_product(m.v, m.v))"
+               " * sqrt(list_dot_product(q.v, q.v)))")
+_SETSIM_L2 = ("sqrt(greatest(list_dot_product(m.v, m.v)"
+              " - 2 * list_dot_product(m.v, q.v)"
+              " + list_dot_product(q.v, q.v), 0))")
+
+
+def _setsim_sets(spark, sf_dir):
+    from liresolr_spark.ops.setsim import build_doc_sets
+
+    emb = _emb(spark, sf_dir)
+    sets = build_doc_sets(emb, (F.col("vec_id") % _SETSIM_MOD))
+    qrow = sets.filter(F.col("set_id") == _SETSIM_Q_SET).first()
+    return sets, [list(v) for v in qrow["vectors"]]
+
+
+@_reg(
+    "e06_set_maxsim",
+    f"""
+WITH m AS (SELECT vec_id % {_SETSIM_MOD} AS set_id, vec_id,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM m WHERE set_id = {_SETSIM_Q_SET}),
+pairs AS (
+  SELECT m.set_id, q.vec_id AS qid,
+         round(max({_SETSIM_COS}), 6) AS best
+  FROM m, q GROUP BY m.set_id, q.vec_id)
+SELECT set_id, round(sum(best), 4) AS score
+FROM pairs GROUP BY set_id
+ORDER BY round(sum(best), 4) DESC, set_id LIMIT 10
+""",
+)
+def e06(spark, sf_dir):
+    """Vector-SET similarity, MaxSim mode (late interaction): per-document
+    descriptor sets scored against a broadcast query set in one Arrow
+    kernel — the relational analog of the reference's SURF all-pairs
+    re-rank (ref: SurfUtils.java:9-62 findMatches, driven from
+    SimilarRequestHandler.java:165-205). Exact mode here (oracle-checked);
+    the sorted-norm ±eps prune (SurfInterestPoint.java:29-52) is
+    property-tested in tests/test_setsim.py."""
+    from liresolr_spark.ops.setsim import set_similarity_topk
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    sets, qvecs = _setsim_sets(spark, sf_dir)
+    return set_similarity_topk(sets, qvecs, k=10, mode="maxsim")
+
+
+@_reg(
+    "e07_set_chamfer",
+    f"""
+WITH m AS (SELECT vec_id % {_SETSIM_MOD} AS set_id, vec_id,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM m WHERE set_id = {_SETSIM_Q_SET}),
+pairs AS (
+  SELECT m.set_id, q.vec_id AS qid,
+         round(min({_SETSIM_L2}), 6) AS best
+  FROM m, q GROUP BY m.set_id, q.vec_id)
+SELECT set_id, round(avg(best), 4) AS score
+FROM pairs GROUP BY set_id
+ORDER BY round(avg(best), 4) ASC, set_id LIMIT 10
+""",
+)
+def e07(spark, sf_dir):
+    """Vector-SET similarity, Chamfer mode: mean over query descriptors of
+    the min L2 distance into each doc's set — the SURF getDistance
+    aggregate itself (ref: SurfUtils.java:9-33), lower = closer."""
+    from liresolr_spark.ops.setsim import set_similarity_topk
+    from liresolr_spark.ship import ship_package
+
+    ship_package(spark)
+    sets, qvecs = _setsim_sets(spark, sf_dir)
+    return set_similarity_topk(sets, qvecs, k=10, mode="chamfer")
+
+
 @_reg(
     "v01b_visual_words_invariants",
     """
