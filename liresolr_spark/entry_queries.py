@@ -675,6 +675,71 @@ def d06(spark, sf_dir):
     ).orderBy("id")
 
 
+@_reg(
+    "d07_dedup_components",
+    f"""
+WITH RECURSIVE sh0 AS (
+  SELECT doc_id, {_SH3} AS sh
+  FROM (SELECT doc_id, {TOK} AS l FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         list_min([substr(md5('h0:' || s), 1, 8) for s in sh]) AS mh0,
+         list_min([substr(md5('h0:' || s), 9, 8) for s in sh]) AS mh1,
+         list_min([substr(md5('h0:' || s), 17, 8) for s in sh]) AS mh2,
+         list_min([substr(md5('h0:' || s), 25, 8) for s in sh]) AS mh3
+  FROM sh0 WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS common
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.id_a
+  JOIN shd b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY p.id_a, p.id_b
+),
+verified AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.common * 1.0 / (sa.sz + sb.sz - c.common) >= 0.5
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM verified
+          UNION ALL SELECT id_b AS s, id_a AS d FROM verified),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id, (min(r) = id) AS keep, min(r) AS root
+FROM reach GROUP BY id ORDER BY id
+""",
+)
+def d07(spark, sf_dir):
+    """Transitive-closure keeplist (round-2 verdict #7): connected
+    components over the verified near-duplicate graph via iterative
+    min-label propagation, one keeper (min id) per component — held to a
+    DuckDB RECURSIVE-CTE reachability oracle over the same verified
+    pairs."""
+    from liresolr_spark.ops.dedup import dedup_components
+
+    return dedup_components(
+        _docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=4, bands=2, shingle_n=3, threshold=0.5,
+    ).orderBy("id")
+
+
 # ---- similarity search over embeddings --------------------------------------
 
 _COS = (

@@ -216,7 +216,28 @@ def dedup_keeplist(
     Returns (id, keep boolean, dup_of nullable long) — dup_of is the
     smallest verified duplicate partner for dropped docs (deterministic).
     Not a transitive closure: like most production dedup, each doc decides
-    against its own verified partners."""
+    against its own verified partners; `dedup_components` below closes the
+    relation when chains matter."""
+    verified = verified_near_dup_pairs(df, id_col, text_col, num_hashes,
+                                       bands, shingle_n, threshold)
+    dropped = verified.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(dropped, "id", "left")
+        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 4, bands: int = 2, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a < id_b, jaccard): LSH candidate pairs verified by exact n-gram
+    Jaccard computed ONLY on the candidate list (stages 1-2 of the canonical
+    100 TB dedup — the shingle join is restricted to pair members, never
+    all-pairs)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands,
                                 shingle_n)
     toks = df.select(
@@ -233,7 +254,7 @@ def dedup_keeplist(
         .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "s"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
     )
-    verified = (
+    return (
         common
         .join(sizes.withColumnRenamed("id", "id_a")
               .withColumnRenamed("sz", "sz_a"), "id_a")
@@ -242,11 +263,54 @@ def dedup_keeplist(
         .withColumn("jaccard", F.col("common")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    dropped = verified.groupBy(F.col("id_b").alias("id")).agg(
-        F.min("id_a").alias("dup_of"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(dropped, "id", "left")
-        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
-    )
+
+
+def dedup_components(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 4, bands: int = 2, shingle_n: int = 3,
+    threshold: float = 0.5, max_iter: int = 25,
+) -> DataFrame:
+    """Transitive-closure keeplist: connected components over the verified
+    near-duplicate graph, one keeper (the min id) per component.
+
+    Fixes the greedy keeplist's chain gap (round-2 verdict #7): with A~B,
+    B~C, A<B<C and no A~C edge, greedy drops B (against A) and C (against
+    B) but a SECOND greedy pass could resurrect C once B is gone;
+    component semantics make the decision well-defined — every member of a
+    connected component except its min id is dropped.
+
+    Algorithm: iterative min-label propagation (the simple-CC shape used by
+    large-scale dedup pipelines): each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are shallow in practice — with
+    `max_iter` as the runaway bound and convergence detected by a
+    changed-label count. Each round is one shuffle join + aggregation;
+    lineage is cut per round with localCheckpoint so plans don't grow.
+
+    Returns (id, keep boolean, root long): root = component representative
+    (min id, = id itself for singletons and keepers)."""
+    verified = verified_near_dup_pairs(df, id_col, text_col, num_hashes,
+                                       bands, shingle_n, threshold)
+    edges = verified.select("id_a", "id_b")
+    sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(edges.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = df.select(F.col(id_col).alias("id")).withColumn(
+        "root", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym.src == labels.id)
+                .select(F.col("dst").alias("id"), "root"))
+        new_labels = (labels.select("id", "root").unionByName(msgs)
+                      .groupBy("id").agg(F.min("root").alias("root"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.root") != F.col("o.root")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "id", (F.col("root") == F.col("id")).alias("keep"), "root")

@@ -178,3 +178,33 @@ def test_fl_expr_projection(engine):
     for r in out:
         assert r["fval"] == r["repo"].replace("/", "%2F") + "%2F" + \
             r["path"].replace("/", "%2F")
+
+
+def test_dedup_components_closes_chains(spark):
+    """A~B, B~C verified (J=0.5 each) but A!~C (J=0.2): greedy keeplist
+    leaves the chain ambiguous (C's dup_of is the also-dropped B);
+    component semantics keep exactly the min id of the whole chain.
+    Token labels chosen so the 2-band/4-hash LSH deterministically
+    collides on both chain edges (md5 construction is engine-stable)."""
+    from liresolr_spark.ops.dedup import dedup_components, dedup_keeplist
+
+    A = ['w16996', 'w642549', 'w615592', 'w120952', 'w510073', 'w351556',
+         'w86374', 'w340079']
+    B = ['w615592', 'w120952', 'w510073', 'w351556', 'w86374', 'w340079',
+         'w886128', 'w254841']
+    C = ['w510073', 'w351556', 'w86374', 'w340079', 'w886128', 'w254841',
+         'w660757', 'w199626']
+    rows = [(0, " ".join(A)), (1, " ".join(B)), (2, " ".join(C)),
+            (3, "completely unrelated text about nothing shared")]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    comp = {r["id"]: (r["keep"], r["root"])
+            for r in dedup_components(df, "id", "text").collect()}
+    assert comp == {0: (True, 0), 1: (False, 0), 2: (False, 0),
+                    3: (True, 3)}
+
+    greedy = {r["id"]: (r["keep"], r["dup_of"])
+              for r in dedup_keeplist(df, "id", "text").collect()}
+    # greedy drops C against B even though B itself is dropped — the gap
+    # component closure fixes
+    assert greedy[2] == (False, 1) and greedy[1] == (False, 0)
