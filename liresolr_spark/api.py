@@ -20,10 +20,34 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+import functools
+
 from liresolr_spark import DEFAULT_CANDIDATES, DEFAULT_ROWS, MAX_QUERY_TERMS
 from liresolr_spark.functions.tokenizer import py_hash_token, py_tokenize
 from liresolr_spark.operators.wand import wand_topk
 from liresolr_spark.plans.build import read_meta
+
+
+def _counted(fn):
+    """Cumulative request statistics, the analog of the reference's
+    per-handler numRequests / numErrors / totalTime counters
+    (ref: LireRequestHandler.java:51-53, reported at :568-574). Timed span
+    is plan construction (our DataFrames are lazy; execution time lives in
+    the Spark UI/metrics) — `last_metrics` keeps the per-request figure."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        t0 = time.time()
+        self.request_stats["numRequests"] += 1
+        try:
+            return fn(self, *a, **kw)
+        except Exception:
+            self.request_stats["numErrors"] += 1
+            raise
+        finally:
+            self.request_stats["totalTime_ms"] += (time.time() - t0) * 1000.0
+
+    return wrapper
 
 
 class LireQueryEngine:
@@ -44,6 +68,8 @@ class LireQueryEngine:
         self.index_dir = index_dir
         self.pin_blocks = pin_blocks
         self.last_metrics: dict = {}
+        self.request_stats: dict = {
+            "numRequests": 0, "numErrors": 0, "totalTime_ms": 0.0}
         self._open()
 
     def _open(self) -> None:
@@ -149,6 +175,7 @@ class LireQueryEngine:
 
     # -- /lireq analog ------------------------------------------------------
 
+    @_counted
     def search(
         self,
         text: str | None = None,
@@ -227,6 +254,7 @@ class LireQueryEngine:
         }
         return out
 
+    @_counted
     def search_many(self, texts: dict[str, str], rows: int = DEFAULT_ROWS,
                     field: str = "text") -> DataFrame:
         """Batched search: ALL queries in ONE distributed job (the serving-
@@ -308,6 +336,7 @@ class LireQueryEngine:
 
     # -- /lireId analog -----------------------------------------------------
 
+    @_counted
     def identity(
         self, text: str, threshold: float,
         verify_threshold: float | None = None,
@@ -361,6 +390,7 @@ class LireQueryEngine:
 
     # -- /lireSim analog ----------------------------------------------------
 
+    @_counted
     def similar(
         self, text: str, rows: int = 30,
         pool_text: int = 25000, pool_ha: int = 30,
@@ -381,20 +411,32 @@ class LireQueryEngine:
 
     # -- lirefunc analog ----------------------------------------------------
 
+    @_counted
     def function_sort(self, expr: str, rows: int = DEFAULT_ROWS,
-                      ascending: bool = True) -> DataFrame:
+                      ascending: bool = True,
+                      default: float | None = None) -> DataFrame:
         """Sort the whole corpus by a per-doc scalar expression — the
         `sort=lirefunc(...)` path (ref: README.md:204-212,
         LireValueSource.java:85-109). expr is a SQL expression over docstats
-        columns (docID, repo, path, commit, lang, doclen, sha256)."""
+        columns (docID, repo, path, commit, lang, doclen, sha256).
+
+        default: degrade value substituted when the expression evaluates
+        NULL for a doc (missing payload) — the reference returns a constant
+        maxDistance when a doc has no stored feature instead of erroring or
+        dropping the doc (ref: LireValueSource.java:111-134). With
+        default=None, NULL fvals sort last (Spark's NULLS LAST under ASC),
+        i.e. the 'infinitely far' convention."""
         stats = self._docstats()
         val = F.expr(expr)
+        if default is not None:
+            val = F.coalesce(val, F.lit(default))
         ordered = stats.withColumn("fval", val).orderBy(
             F.asc("fval") if ascending else F.desc("fval"), F.asc("docID"))
         return ordered.select("docID", "repo", "path", "fval").limit(rows)
 
     # -- random (ref: handleRandomSearch) ------------------------------------
 
+    @_counted
     def random_sample(self, rows: int, seed: int = 42) -> DataFrame:
         """Seeded random docs (ref: LireRequestHandler.java:207-232 uses
         Math.random(); we hash with a seed for reproducibility)."""

@@ -208,3 +208,34 @@ def test_dedup_components_closes_chains(spark):
     # greedy drops C against B even though B itself is dropped — the gap
     # component closure fixes
     assert greedy[2] == (False, 1) and greedy[1] == (False, 0)
+
+
+def test_request_counters_and_function_sort_degrade(spark, corpus200,
+                                                    tmp_path_factory):
+    """Cumulative numRequests/numErrors/totalTime counters (ref:
+    LireRequestHandler.java:51-53,568-574) and the lirefunc missing-value
+    degrade (ref: LireValueSource.java:111-134 constant maxDistance)."""
+    from liresolr_spark.api import LireQueryEngine
+    from liresolr_spark.plans.build import build_index
+
+    d = str(tmp_path_factory.mktemp("cnt")) + "/ix"
+    build_index(corpus200, d, num_shards=4, block_size=64,
+                with_hash_tokens=False)
+    eng = LireQueryEngine(spark, d, pin_blocks=False)
+    eng.search(text="read file", rows=3).count()
+    eng.similar("read file", rows=3).count()
+    with __import__("pytest").raises(Exception):
+        eng.search(text=" ".join(f"t{i}" for i in range(20001)))
+    st = eng.request_stats
+    assert st["numRequests"] == 3 and st["numErrors"] == 1
+    assert st["totalTime_ms"] > 0
+
+    # degrade: an expression NULL for some docs takes the default constant
+    out = eng.function_sort(
+        "CASE WHEN lang = 'python' THEN doclen END",
+        rows=200, ascending=True, default=1e9).collect()
+    assert all(r["fval"] is not None for r in out)
+    assert any(r["fval"] == 1e9 for r in out)  # non-python docs degraded
+    # and identity() on a hash-less index falls back instead of zero rows
+    hits = eng.identity("read file data", threshold=0.999)
+    assert hits.count() > 0
