@@ -167,9 +167,11 @@ class LireQueryEngine:
 
     def _project(self, hits: DataFrame) -> DataFrame:
         """Response projection {id fields, score} + payload join
-        (ref: LireRequestHandler.java:520-524 — SURVEY P1/J2)."""
+        (ref: LireRequestHandler.java:520-524 — SURVEY P1/J2). The hits
+        side is bounded (top-k) and broadcast, so the payload fetch never
+        shuffles the corpus-sized docstats table."""
         stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
-        return hits.join(stats, "docID").select(
+        return stats.join(F.broadcast(hits), "docID").select(
             "docID", "repo", "path", "commit", "lang", "score"
         ).orderBy(F.desc("score"), F.asc("docID"))
 
@@ -279,7 +281,7 @@ class LireQueryEngine:
             dictionary_map=self._dict_map, meta=self.meta,
             deny_docids=self._deny)
         stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
-        out = hits.join(stats, "docID").select(
+        out = stats.join(F.broadcast(hits), "docID").select(
             "qid", "docID", "repo", "path", "commit", "lang", "score"
         ).orderBy("qid", F.desc("score"), F.asc("docID"))
         self.last_metrics = {

@@ -185,13 +185,28 @@ def _shard_kernel(idf: dict, k: int, k1: float, b: float, avgdl: float,
 def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float,
                        allow_mode: bool = False):
     """Batched variant: Q queries against one shard's blocks in a single
-    kernel invocation. Each block is DECODED AT MOST ONCE across all queries
-    (memoized) — hot terms shared by many queries amortize to one
-    decompression — and WAND range-pruning still applies per query.
+    kernel invocation, fully vectorized TERM-AT-A-TIME exhaustive scoring.
+
+    Why not per-query WAND here: the scan is already restricted to the
+    UNION of the batch's query terms (pruned at the parquet scan), every
+    hot block is shared by many queries, and profiling showed the Python
+    range-visit loop — not decompression or scoring — dominating batch
+    latency. So each posting block is decoded exactly once, and scoring is
+    a scatter-add of per-term contributions into a dense (Q x shard-docs)
+    score matrix (shards are CONTIGUOUS docID ranges by construction, so
+    the dense axis is docs_per_shard, not the corpus). Exhaustive scoring
+    is trivially exact — same guarantee as WAND, no pruning proof needed.
+    Result stays rank-identical to per-query `wand_topk` (pytest-gated).
+
+    Memory guard: the dense matrix is capped at ~512 MB; a batch too large
+    for it falls back to per-query bincount accumulation (vector per query,
+    never Q x docs). At 10^12 docs docs_per_shard is chosen by the build so
+    a shard's dense row (~8 B x docs_per_shard) stays executor-sized.
 
     Optional second frame = per-shard docID restriction (see _shard_kernel);
-    it is query-independent, so the mask is applied once inside the decode
-    memo and shared by every query."""
+    query-independent, applied once at decode."""
+
+    DENSE_BUDGET = 64_000_000  # doubles: Q * span cap (~512 MB)
 
     def kernel(blocks: pd.DataFrame, mask_pdf: pd.DataFrame | None = None
                ) -> pd.DataFrame:
@@ -202,84 +217,94 @@ def _shard_kernel_many(idfs: dict, k: int, k1: float, b: float, avgdl: float,
         if len(blocks) == 0:
             return empty
         terms = blocks["term"].values
-        seqs = blocks["block_seq"].values.astype(np.int64)
-        mtf = blocks["max_tf"].values.astype(np.float64)
-        mdl = blocks["min_dl"].values.astype(np.float64)
-        # idf-free part of the block bound (see _shard_kernel notes)
-        bound_base = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
-
-        uniq_seq, inv = np.unique(seqs, return_inverse=True)
-        grp = np.argsort(inv, kind="stable")
-        counts = np.bincount(inv, minlength=len(uniq_seq))
-        offsets = np.concatenate(([0], np.cumsum(counts)))
-
         docid_col = blocks["docids"].values
         tf_col = blocks["tfs"].values
         dl_col = blocks["doclens"].values
-        decoded: dict[int, tuple] = {}  # row -> (ids, tf_norm_part) cache
 
-        def decode(m: int):
-            hit = decoded.get(m)
-            if hit is None:
+        # decode every block once; group postings per unique term
+        uniq_terms, term_codes = np.unique(terms, return_inverse=True)
+        ids_by_term: list[np.ndarray] = [None] * len(uniq_terms)
+        part_by_term: list[np.ndarray] = [None] * len(uniq_terms)
+        for t in range(len(uniq_terms)):
+            rows = np.flatnonzero(term_codes == t)
+            ids_l, part_l = [], []
+            for m in rows:
                 ids, tfs, dls_u = decode_block(
                     bytes(docid_col[m]), bytes(tf_col[m]), bytes(dl_col[m]))
                 tf_f = tfs.astype(np.float64)
                 dls = dls_u.astype(np.float64)
-                # idf-free per-posting contribution; a query scales it by w
                 part = tf_f * (k1 + 1.0) / (
                     tf_f + k1 * (1.0 - b + b * dls / avgdl))
                 ids_m, part_m = _apply_mask(
                     ids.astype(np.int64), part, allow, deny)
-                hit = (ids_m, part_m)
-                decoded[m] = hit
-            return hit
+                ids_l.append(ids_m)
+                part_l.append(part_m)
+            ids_by_term[t] = np.concatenate(ids_l)
+            part_by_term[t] = np.concatenate(part_l)
 
-        # factorize terms ONCE per shard: a query's weight vector is then a
-        # vectorized gather over its per-unique-term idf table, O(U + R)
-        # instead of O(R) Python dict lookups per query
-        uniq_terms, term_codes = np.unique(terms, return_inverse=True)
+        lo = min((int(a.min()) for a in ids_by_term if len(a)), default=0)
+        hi = max((int(a.max()) for a in ids_by_term if len(a)), default=-1)
+        span = hi - lo + 1
+        if span <= 0:
+            return empty
+
+        qids = list(idfs)
+        # per-query weight over the shard's unique terms (0 = not queried)
+        W = np.zeros((len(qids), len(uniq_terms)), dtype=np.float64)
+        tindex = {t: i for i, t in enumerate(uniq_terms)}
+        for qi, qid in enumerate(qids):
+            for t, w in idfs[qid].items():
+                ti = tindex.get(t)
+                if ti is not None:
+                    W[qi, ti] = w
 
         out = []
-        for qid, idf in idfs.items():
-            tw = np.array([idf.get(t, 0.0) for t in uniq_terms],
-                          dtype=np.float64)
-            if not tw.any():
-                continue  # no overlap between this query and the shard
-            w = tw[term_codes]
-            ub = np.bincount(inv, weights=w * bound_base,
-                             minlength=len(uniq_seq))
-            visit_order = np.argsort(-ub, kind="stable")
-            top_ids = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            theta = -np.inf
-            for ri in visit_order:
-                if ub[ri] <= 0.0 or (len(top_ids) >= k and ub[ri] < theta):
-                    break  # strict: an exact tie may hold a smaller docID
-                ids_all, sc_all = [], []
-                for m in grp[offsets[ri]:offsets[ri + 1]]:
-                    if w[m] == 0.0:
-                        continue  # block belongs to another query's term
-                    ids, part = decode(m)
-                    ids_all.append(ids)
-                    sc_all.append(w[m] * part)
-                if not ids_all:
+
+        def topk_rows(qid, dense):
+            # exact top-k under the total order (score desc, docID asc):
+            # partition finds the k-th score; ties AT it are filled in
+            # ascending docID order (nz is ascending by construction)
+            nz = np.flatnonzero(dense)
+            if not len(nz):
+                return
+            sc = dense[nz]
+            if len(nz) > k:
+                kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+                above = np.flatnonzero(sc > kth)
+                eq = np.flatnonzero(sc == kth)[:k - len(above)]
+                sel = np.concatenate([above, eq])
+                nz, sc = nz[sel], sc[sel]
+            order = np.lexsort((nz, -sc))[:k]
+            out.append(pd.DataFrame({
+                "qid": qid, "docID": (nz[order] + lo).astype(np.int64),
+                "score": sc[order]}))
+
+        if len(qids) * span <= DENSE_BUDGET:
+            scores = np.zeros((len(qids), span), dtype=np.float64)
+            for t in range(len(uniq_terms)):
+                qs = np.flatnonzero(W[:, t])
+                if not len(qs) or not len(ids_by_term[t]):
                     continue
-                ids_cat = np.concatenate(ids_all)
-                sc_cat = np.concatenate(sc_all)
-                if not len(ids_cat):  # every posting masked out
+                cols = ids_by_term[t] - lo
+                # (|qs| x n_t) outer contribution scattered into the dense
+                # matrix — one vectorized op per (term, querying-subset)
+                scores[np.ix_(qs, cols)] += (
+                    W[qs, t][:, None] * part_by_term[t][None, :])
+            for qi, qid in enumerate(qids):
+                topk_rows(qid, scores[qi])
+        else:
+            for qi, qid in enumerate(qids):
+                ts = np.flatnonzero(W[qi])
+                if not len(ts):
                     continue
-                lo = ids_cat.min()
-                acc = np.bincount(ids_cat - lo, weights=sc_cat)
-                nz = np.nonzero(acc)[0]
-                top_ids = np.concatenate([top_ids, nz + lo])
-                top_scores = np.concatenate([top_scores, acc[nz]])
-                order = np.lexsort((top_ids, -top_scores))[:k]
-                top_ids, top_scores = top_ids[order], top_scores[order]
-                if len(top_ids) >= k:
-                    theta = top_scores[-1]
-            if len(top_ids):
-                out.append(pd.DataFrame({
-                    "qid": qid, "docID": top_ids, "score": top_scores}))
+                ids_cat = np.concatenate([ids_by_term[t] for t in ts])
+                sc_cat = np.concatenate(
+                    [W[qi, t] * part_by_term[t] for t in ts])
+                if not len(ids_cat):
+                    continue
+                dense = np.zeros(span, dtype=np.float64)
+                np.add.at(dense, ids_cat - lo, sc_cat)
+                topk_rows(qid, dense)
         return pd.concat(out, ignore_index=True) if out else empty
 
     return kernel
@@ -301,6 +326,30 @@ def _restrict_df(allow_docids: DataFrame | None,
         d = deny_docids.select("shard", "docID", F.lit(False).alias("allow"))
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def _run_shard_kernel(spark, blocks, kernel, schema, num_shards,
+                      restrict=None):
+    """Dispatch the per-shard kernel with an EXPLICIT hash repartition on
+    shard, pinned to min(num_shards, default parallelism).
+
+    Why: the pruned block rows for a query batch are tiny (KB-MB), so
+    AQE's partition coalescing folds the pre-kernel shuffle into ONE
+    partition and the shard kernels run serially — measured 2x batch
+    latency at 32 cores. A user-specified repartition count is exempt from
+    AQE coalescing, and hashpartitioning(shard, P) already satisfies the
+    kernel's required distribution, so no second shuffle appears. The
+    kernel's cost is CPU (decode + score), not data size — parallelism
+    should follow shard count, not shuffle bytes."""
+    n_parts = max(1, min(int(num_shards), spark.sparkContext.defaultParallelism))
+    blocks = blocks.repartition(n_parts, "shard")
+    if restrict is None:
+        return blocks.groupBy("shard").applyInPandas(
+            lambda bl: kernel(bl), schema=schema)
+    restrict = restrict.repartition(n_parts, "shard")
+    return blocks.groupBy("shard").cogroup(
+        restrict.groupBy("shard")
+    ).applyInPandas(lambda bl, mk: kernel(bl, mk), schema=schema)
 
 
 def wand_topk_many(
@@ -362,14 +411,9 @@ def wand_topk_many(
     kernel = _shard_kernel_many(idfs, k, meta.k1, meta.b, meta.avgdl,
                                 allow_mode=allow_docids is not None)
     schema = "qid string, docID long, score double"
-    restrict = _restrict_df(allow_docids, deny_docids)
-    if restrict is None:
-        per_shard = blocks.groupBy("shard").applyInPandas(
-            lambda bl: kernel(bl), schema=schema)
-    else:
-        per_shard = blocks.groupBy("shard").cogroup(
-            restrict.groupBy("shard")
-        ).applyInPandas(lambda bl, mk: kernel(bl, mk), schema=schema)
+    per_shard = _run_shard_kernel(
+        spark, blocks, kernel, schema, meta.num_shards,
+        _restrict_df(allow_docids, deny_docids))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
     return (per_shard.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
@@ -446,13 +490,8 @@ def wand_topk(
                            meta.block_size, acc_total, acc_visited,
                            allow_mode=allow_docids is not None)
     schema = "docID long, score double"
-    restrict = _restrict_df(allow_docids, deny_docids)
-    if restrict is None:
-        per_shard = blocks.groupBy("shard").applyInPandas(
-            lambda bl: kernel(bl), schema=schema)
-    else:
-        per_shard = blocks.groupBy("shard").cogroup(
-            restrict.groupBy("shard")
-        ).applyInPandas(lambda bl, mk: kernel(bl, mk), schema=schema)
+    per_shard = _run_shard_kernel(
+        spark, blocks, kernel, schema, meta.num_shards,
+        _restrict_df(allow_docids, deny_docids))
     # global merge: bounded heap per partition + driver merge (TakeOrderedAndProject)
     return per_shard.orderBy(F.desc("score"), F.asc("docID")).limit(k)

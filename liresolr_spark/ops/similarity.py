@@ -124,19 +124,28 @@ def band_join_pairs(
 def neardup_pairs(
     emb: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = "label", bucket_dims: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: equi-join on the blocking key (label,
-    or an LSH bucket) then exact cosine filter. Blocking keeps the join
-    sub-quadratic; never an unconstrained cross join."""
+    """Embedding near-duplicate pairs: equi-join on the blocking key then
+    exact cosine filter. Blocking keeps the join sub-quadratic; never an
+    unconstrained cross join.
+
+    block_col names a column to block on (e.g. a source label); with
+    block_col=None the SIGN-LSH bucket (sign_bucket_expr over the first
+    `bucket_dims` dims) becomes the block — an approximate candidate
+    generator (standard LSH recall trade-off: antipodal-ish near-dups in
+    different buckets are missed), chosen over the all-pairs fallback the
+    operator used to have, which was quadratic in the hot-block size
+    (round-2 verdict). A hot explicit block has the same hazard — prefer
+    the bucket default or compose with `band_join_pairs`."""
     cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     e = emb.select(*cols)
+    if not block_col:
+        e = e.withColumn("blk", sign_bucket_expr(F.col("v"), bucket_dims))
     a, b = e.alias("a"), e.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
     pairs = a.join(b, cond).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
