@@ -119,9 +119,10 @@ def main() -> None:
         "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",
         "q09_pagination", "q13_candidate_union", "d01_exact_dedup",
         "q14_identity_cascade", "d03_minhash_lsh_pairs", "d04_simhash",
-        "d06_dedup_keeplist", "d07_dedup_components", "e01_ann_cosine_topk",
+        "d06_dedup_keeplist", "d07_dedup_components", "d08_decontaminate",
+        "e01_ann_cosine_topk",
         "e03_embedding_neardup", "e04_band_join_neardup", "e06_set_maxsim",
-        "t01_language_id",
+        "t01_language_id", "t05_repetition_scores",
         "t03_token_counts", "t04_fingerprints", "r01_pricing_summary",
         "r02_top_customers", "m01_media_features",
     ]

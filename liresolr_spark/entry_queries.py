@@ -740,6 +740,46 @@ def d07(spark, sf_dir):
     ).orderBy("id")
 
 
+@_reg(
+    "d08_decontaminate",
+    f"""
+WITH corp AS (
+  SELECT doc_id, {_SH3} AS sh
+  FROM (SELECT doc_id, {TOK} AS l FROM documents WHERE doc_id % 17 <> 0)
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(sh)) AS s
+  FROM (SELECT {_SH3} AS sh
+        FROM (SELECT {TOK} AS l FROM documents WHERE doc_id % 17 = 0))
+),
+cs AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM corp),
+hits AS (
+  SELECT cs.doc_id, count(DISTINCT cs.s) AS n_overlap
+  FROM cs JOIN bench ON bench.s = cs.s GROUP BY cs.doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY id
+""",
+)
+def d08(spark, sf_dir):
+    """Benchmark decontamination: n-gram overlap of every corpus doc against
+    a held-out eval set (here: every 17th doc), benchmark shingle set
+    broadcast so the corpus side is never shuffled. The GPT-3/Gopher
+    training-data hygiene op; no reference analog (Solr has no eval-set
+    concept)."""
+    from liresolr_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(corpus, bench, "doc_id", "text",
+                         shingle_n=3, min_overlap=1).orderBy("id")
+
+
 # ---- similarity search over embeddings --------------------------------------
 
 _COS = (
@@ -1285,6 +1325,57 @@ def t04(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     return fingerprints(docs, "doc_id", "text", shingle_n=5).orderBy("id")
+
+
+@_reg(
+    "t05_repetition_scores",
+    f"""
+WITH tok AS (
+  SELECT doc_id, text, {TOK} AS l FROM documents WHERE doc_id < 300
+),
+base AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         round(CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+               ELSE 0 END, 4) AS dup_line_frac,
+         n_toks
+  FROM (SELECT doc_id,
+               list_filter([trim(x) for x in string_split(text, chr(10))],
+                           x -> x <> '') AS lines,
+               len(l) AS n_toks
+        FROM tok)
+),
+ttop AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS g FROM tok) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+btop AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest([concat_ws(' ', l[i], l[i+1])
+                         for i in generate_series(1, greatest(len(l)-1, 0))]) AS g
+          FROM tok) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id AS id, b.n_lines, b.dup_line_frac,
+       round(coalesce(tt.top_c * 1.0 / b.n_toks, 0), 4) AS top_token_frac,
+       round(coalesce(bt.top_c * 1.0 / (b.n_toks - 1), 0), 4) AS top_bigram_frac
+FROM base b
+LEFT JOIN ttop tt ON tt.doc_id = b.doc_id
+LEFT JOIN btop bt ON bt.doc_id = b.doc_id
+ORDER BY id
+""",
+)
+def t05(spark, sf_dir):
+    """Gopher-style repetition features (duplicate-line fraction, top-token
+    and top-bigram mass) for pre-training quality filtering."""
+    from liresolr_spark.ops.text import repetition_scores
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return repetition_scores(docs, "doc_id", "text").orderBy("id")
 
 
 # ---- multimodal plumbing (rows-only: numpy kernel not SQL-expressible) ------

@@ -23,8 +23,17 @@ from liresolr_spark.functions.tokenizer import tokenize_expr
 # ---------------------------------------------------------------------------
 
 def shingles_expr(tokens_col: Column, n: int = 3) -> Column:
-    """array of n-word shingles (space-joined) from a token array."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    """array of n-word shingles (space-joined) from a token array; empty
+    for docs shorter than n tokens.
+
+    The short-doc guard must be a when(), not greatest(size-(n-1), 0):
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
+    generate_series yields []), so the unguarded form walks element_at
+    past the array bounds and throws on any sub-n-token document."""
+    idx = F.when(
+        F.size(tokens_col) >= n,
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -314,3 +323,59 @@ def dedup_components(
             break
     return labels.select(
         "id", (F.col("root") == F.col("id")).alias("keep"), "root")
+
+
+def decontaminate(
+    df: DataFrame, bench_df: DataFrame,
+    id_col: str, text_col: str, bench_text_col: str | None = None,
+    shingle_n: int = 3, min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-doc count of distinct n-gram
+    shingles shared with ANY document of a held-out benchmark/eval set,
+    keeping docs below `min_overlap`. The standard pre-training hygiene op
+    (GPT-3 appendix-C / Gopher-style n-gram overlap), absent from the
+    reference (Solr has no eval-set concept) but core to a training-data
+    pipeline.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are ~1e4-1e6 shingles vs 100 TB of corpus), so its DISTINCT
+    shingle set is broadcast and the corpus-side probe is a map-side hash
+    semi-join — the 100 TB side is never shuffled; the only shuffle is the
+    per-doc overlap count, keyed by doc id (uniform, no skew). With a
+    benchmark too large to broadcast, drop the hint and the same plan
+    becomes a shuffle join on the shingle hash.
+
+    Returns (id, n_overlap, contaminated) for every corpus doc —
+    n_overlap = 0 rows are retained so the result is a total keep/drop
+    verdict, not just the hit list."""
+    bcol = bench_text_col or text_col
+    corp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                shingles_expr(tokenize_expr(F.col(text_col)), shingle_n))
+        ).alias("s"),
+    )
+    bench = (
+        bench_df.select(
+            F.explode(
+                F.array_distinct(
+                    shingles_expr(tokenize_expr(F.col(bcol)), shingle_n))
+            ).alias("s"))
+        .distinct()
+    )
+    hits = (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("id")
+        .agg(F.count_distinct("s").alias("n_overlap"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap
+             ).alias("contaminated"),
+        )
+    )

@@ -100,3 +100,74 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str,
         F.array_min(F.transform("sh", F.md5)).alias("fingerprint"),
         F.size("sh").alias("n_shingles"),
     )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition features for quality filtering: fraction of
+    duplicate (non-unique) lines, most-frequent-token mass, and
+    most-frequent word-bigram mass. High values mark boilerplate /
+    degenerate documents a pre-training pipeline drops.
+
+    Scale shape: the line metric is a pure per-row higher-order expression
+    (no shuffle at all); the token/bigram modes need a per-(doc, gram)
+    count — explode + two-level aggregation, which partial-aggregates
+    map-side and shuffles only (doc_id, gram) partial counts. Keys are
+    uniform in doc_id so a hot token creates no hot PARTITION (unlike a
+    global term count, the doc_id component spreads it).
+
+    Returns (id, n_lines, dup_line_frac, top_token_frac, top_bigram_frac),
+    fractions rounded to 4 decimals; empty docs score 0.0 everywhere."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+                     tokenize_expr(F.col(text_col)).alias("toks"))
+
+    lines = F.filter(F.transform(F.split("text", r"\n"), F.trim),
+                     lambda x: x != "")
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    per_doc = base.select("id", n_lines.alias("n_lines"),
+                          F.round(dup_frac, 4).alias("dup_line_frac"),
+                          "toks", F.size("toks").alias("n_toks"))
+
+    grams = per_doc.select(
+        "id", "n_toks",
+        F.explode(
+            F.flatten(F.array(
+                F.transform("toks", lambda t: F.struct(
+                    F.lit("tok").alias("kind"), t.alias("g"))),
+                F.transform(
+                    F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    lambda t, i: F.struct(
+                        F.lit("bi").alias("kind"),
+                        F.concat_ws(" ", t, F.element_at("toks", i + 2)).alias("g"))),
+            ))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("id", "n_toks", F.col("gram.kind").alias("kind"),
+                      F.col("gram.g").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("id", "n_toks", "kind")
+        .agg(F.max("c").alias("top_c"))
+        .groupBy("id")
+        .agg(
+            F.round(F.max(F.when(F.col("kind") == "tok",
+                                 F.col("top_c") / F.col("n_toks"))), 4
+                    ).alias("top_token_frac"),
+            F.round(F.max(F.when(F.col("kind") == "bi",
+                                 F.col("top_c") / (F.col("n_toks") - 1))), 4
+                    ).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        per_doc.select("id", "n_lines", "dup_line_frac")
+        .join(top, "id", "left")
+        .select(
+            "id", "n_lines", "dup_line_frac",
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
