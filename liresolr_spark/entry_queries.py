@@ -1671,6 +1671,45 @@ def s02(spark, sf_dir):
     return _hits_to_doc_ids(spark, idx, hits)
 
 
+@_reg(
+    "s03_user_sessions",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS duration_s
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_s
+""",
+)
+def s03(spark, sf_dir):
+    """Per-user session windows over the event stream (30-min inactivity
+    gap) — F.session_window batch path of the stateful-streaming
+    sessionizer (streaming twin: streaming/sessions.sessionize_stream,
+    cross-tested in tests/test_sessions.py); DuckDB gaps-and-islands
+    oracle."""
+    from liresolr_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30.0).orderBy(
+        "user_id", "session_start_s")
+
+
 # ---------------------------------------------------------------------------
 
 

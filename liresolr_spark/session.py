@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pin event-time arithmetic: epoch math must agree across Spark,
+        # pandas (stateful kernels treat naive ts as UTC) and the DuckDB
+        # oracle regardless of the host timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # local-mode executor == driver JVM: size the heap for cached
         # corpus/token columns + 32 concurrent task threads (8g thrashes GC
