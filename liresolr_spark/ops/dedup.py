@@ -349,18 +349,25 @@ def decontaminate(
     n_overlap = 0 rows are retained so the result is a total keep/drop
     verdict, not just the hit list."""
     bcol = bench_text_col or text_col
-    corp = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                shingles_expr(tokenize_expr(F.col(text_col)), shingle_n))
-        ).alias("s"),
+    # tokenize in its OWN projection: inlining tokenize_expr into the
+    # shingle lambda lets CollapseProject duplicate the regex pipeline into
+    # every element_at, re-tokenizing the doc once per shingle element
+    # (measured 48x slower at sf0.1). The alias is non-cheap and
+    # multiply-referenced, so the optimizer keeps the two-step shape.
+    corp = (
+        df.select(F.col(id_col).alias("id"),
+                  tokenize_expr(F.col(text_col)).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_expr(F.col("toks"), shingle_n))
+            ).alias("s"))
     )
     bench = (
-        bench_df.select(
+        bench_df.select(tokenize_expr(F.col(bcol)).alias("toks"))
+        .select(
             F.explode(
-                F.array_distinct(
-                    shingles_expr(tokenize_expr(F.col(bcol)), shingle_n))
+                F.array_distinct(shingles_expr(F.col("toks"), shingle_n))
             ).alias("s"))
         .distinct()
     )
