@@ -1710,6 +1710,83 @@ def s03(spark, sf_dir):
         "user_id", "session_start_s")
 
 
+# ---- deterministic sampling / dataset assembly ----------------------------
+
+_UH = "substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@_reg(
+    "p01_hash_split",
+    f"""
+SELECT CASE WHEN {_UH.format(salt='split')} < 'cccccccd' THEN 'train'
+            WHEN {_UH.format(salt='split')} < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+""",
+)
+def p01(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test hash split (md5-salted id,
+    pure projection — no shuffle on the corpus side), summarized as
+    per-(split, lang) counts. The per-doc label is re-derivable row-wise,
+    so incremental batches and full backfills agree."""
+    from liresolr_spark.ops.sample import hash_split
+
+    return (hash_split(_docs(spark, sf_dir), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+            .orderBy("split", "lang"))
+
+
+@_reg(
+    "p02_stratified_quota",
+    f"""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_UH.format(salt='quota')}, doc_id)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+""",
+)
+def p02(spark, sf_dir):
+    """Stratified quota sample: exactly 5 docs per language, picked by
+    deterministic hash order (seeded uniform without replacement); one
+    shuffle, window bounded by the stratum."""
+    from liresolr_spark.ops.sample import stratified_quota
+
+    return (stratified_quota(_docs(spark, sf_dir), "lang", 5, "doc_id")
+            .select("lang", "doc_id", "sample_rank")
+            .orderBy("lang", "sample_rank"))
+
+
+@_reg(
+    "p03_mixture_resample",
+    f"""
+SELECT source, count(*) AS n_docs FROM documents
+WHERE {_UH.format(salt='mix')} <
+      CASE WHEN source = 'src0' THEN '40000000'
+           WHEN source = 'src1' THEN '80000000'
+           WHEN source = 'src2' THEN '00000000'
+           ELSE 'g' END
+GROUP BY source ORDER BY source
+""",
+)
+def p03(spark, sf_dir):
+    """Domain-mixture resampling: downsample src0 to 25%, src1 to 50%,
+    drop src2, keep every other source whole — the literal-CASE filter
+    (never a join) that re-weights a 100 TB corpus toward a target domain
+    mixture; summarized as per-source counts."""
+    from liresolr_spark.ops.sample import mixture_resample
+
+    return (mixture_resample(_docs(spark, sf_dir), "source",
+                             {"src0": 0.25, "src1": 0.5, "src2": 0.0},
+                             "doc_id")
+            .groupBy("source").agg(F.count("*").alias("n_docs"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 
 
