@@ -1787,6 +1787,192 @@ def p03(spark, sf_dir):
             .orderBy("source"))
 
 
+@_reg(
+    "p04_token_budget",
+    f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tokens,
+         {_UH.format(salt='budget')} AS h
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_tokens_before
+  FROM t)
+SELECT source, doc_id, n_tokens, cum_tokens_before
+FROM c WHERE cum_tokens_before < 600 ORDER BY source, doc_id
+""",
+)
+def p04(spark, sf_dir):
+    """Token-budget assembly: per source domain, keep docs in deterministic
+    hash order until 600 whitespace-tokens are drawn — the "N tokens per
+    domain" step of a pretraining mixture. Stable prefix: raising the
+    budget only adds documents."""
+    from liresolr_spark.ops.sample import token_budget_sample
+
+    wst = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                          lambda t: t != "")).cast("long")
+    with_n = _docs(spark, sf_dir).select(
+        "source", "doc_id", wst.alias("n_tokens"))
+    return (token_budget_sample(with_n, "source", 600, "n_tokens", "doc_id")
+            .select("source", "doc_id", "n_tokens",
+                    F.col("cum_tokens_before").cast("long")
+                     .alias("cum_tokens_before"))
+            .orderBy("source", "doc_id"))
+
+
+# ---- corpus cleaning (PII, quality gate, boilerplate lines) ---------------
+
+_PII_BUILD_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.1 tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ' || text"
+)
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_RE_PHONE = r"\+?\d[\d\- ]{6,}\d"
+
+
+@_reg(
+    "t06_pii_redaction",
+    """
+WITH raw AS (
+  SELECT doc_id, """ + _PII_BUILD_SQL + """ AS t0
+  FROM documents WHERE doc_id < 200),
+s1 AS (SELECT doc_id, t0,
+              len(regexp_extract_all(t0, '""" + _RE_EMAIL + """')) AS n_email,
+              regexp_replace(t0, '""" + _RE_EMAIL + """', '<EMAIL>', 'g') AS t1
+       FROM raw),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '""" + _RE_IP + """')) AS n_ipv4,
+              regexp_replace(t1, '""" + _RE_IP + """', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t2, '""" + _RE_PHONE + """')) AS n_phone,
+              regexp_replace(t2, '""" + _RE_PHONE + """', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, substr(t3, 1, 80) AS red_prefix
+FROM s3 ORDER BY doc_id
+""",
+)
+def t06(spark, sf_dir):
+    """PII redaction: mask emails / IPv4 / phone numbers with typed
+    placeholders and count each kind. The synthetic corpus carries no PII,
+    so the entry plants deterministic PII spans (derived from doc_id) in
+    both engines identically, then redacts — exercising the real operator
+    on adversarially realistic text."""
+    from liresolr_spark.ops.clean import redact_pii
+
+    pii_text = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 tel 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"))
+    built = (_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+             .select("doc_id", pii_text.alias("t0")))
+    return (redact_pii(built, "t0")
+            .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                    F.substring("redacted", 1, 80).alias("red_prefix"))
+            .orderBy("doc_id"))
+
+
+@_reg(
+    "t07_quality_filter",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum([length(t) for t in toks]) * 1.0 / len(toks)
+         ELSE 0 END AS mean_len,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> t IN
+              ('the','and','of','to','in','is','for','with','a','an','it','on','at','by'))) * 1.0 / len(toks)
+         ELSE 0 END AS stop_ratio
+  FROM tok),
+flagged AS (
+  SELECT doc_id, n_tokens, mean_len, stop_ratio,
+    list_filter([
+      CASE WHEN n_tokens < 30 THEN 'too_short' ELSE '' END,
+      CASE WHEN n_tokens > 100000 THEN 'too_long' ELSE '' END,
+      CASE WHEN mean_len < 3.0 THEN 'mean_len_low' ELSE '' END,
+      CASE WHEN mean_len > 10.0 THEN 'mean_len_high' ELSE '' END,
+      CASE WHEN stop_ratio < 0.04 THEN 'few_stopwords' ELSE '' END
+    ], x -> x <> '') AS fails
+  FROM sig)
+SELECT doc_id AS id, n_tokens, round(mean_len, 4) AS mean_token_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       len(fails) = 0 AS keep,
+       coalesce(array_to_string(fails, ','), '') AS reasons
+FROM flagged ORDER BY id
+""",
+)
+def t07(spark, sf_dir):
+    """Gopher-style quality gate: length band, mean-token-length band,
+    stopword floor; emits keep + named fail reasons for drop auditing."""
+    from liresolr_spark.ops.clean import quality_filter
+
+    return (quality_filter(_docs(spark, sf_dir), "doc_id", "text",
+                           min_tokens=30, min_stopword_ratio=0.04)
+            .orderBy("id"))
+
+
+@_reg(
+    "d09_line_dedup",
+    """
+WITH d2 AS (
+  SELECT doc_id,
+         'header ' || source || chr(10) || text || chr(10) ||
+         'sig ' || CAST(doc_id AS VARCHAR) || chr(10) || 'shared footer'
+           AS text
+  FROM documents WHERE doc_id < 300),
+lines AS (
+  SELECT doc_id, u.line, u.ord FROM d2,
+  UNNEST(list_transform(string_split(text, chr(10)),
+         (l, i) -> {'line': l, 'ord': i})) AS t(u)),
+dup AS (SELECT line FROM lines GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM dup))
+SELECT d2.doc_id,
+       md5(coalesce(string_agg(kept.line, chr(10) ORDER BY kept.ord), ''))
+         AS clean_md5,
+       count(kept.line) AS n_lines_kept
+FROM d2 LEFT JOIN kept USING (doc_id)
+GROUP BY d2.doc_id ORDER BY doc_id
+""",
+)
+def d09(spark, sf_dir):
+    """Cross-document line dedup (boilerplate removal): lines appearing in
+    >= 2 distinct docs are dropped, remaining line order preserved. The
+    entry builds multi-line docs (per-source header, body, unique sig,
+    global footer) identically in both engines — header and footer are
+    boilerplate by construction, bodies survive unless the corpus
+    duplicates them."""
+    from liresolr_spark.ops.clean import line_dedup
+
+    built = (_docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+             .select("doc_id", F.concat_ws(
+                 "\n",
+                 F.concat(F.lit("header "), F.col("source")),
+                 F.col("text"),
+                 F.concat(F.lit("sig "), F.col("doc_id").cast("string")),
+                 F.lit("shared footer")).alias("text")))
+    return (line_dedup(built, "doc_id", "text", min_docs=2)
+            .select(F.col("id").alias("doc_id"),
+                    F.md5("clean_text").alias("clean_md5"),
+                    "n_lines_kept")
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -80,6 +80,29 @@ def stratified_quota(
             .filter(F.col("sample_rank") <= n_per_stratum))
 
 
+def token_budget_sample(
+    df: DataFrame, group_col: str, budget: int,
+    size_col: str, id_col: str, salt: str = "budget",
+) -> DataFrame:
+    """Keep documents, in deterministic hash order per group, until each
+    group's cumulative ``size_col`` (token count) reaches ``budget`` — the
+    "take N tokens per domain" assembly step of a pretraining mix. A doc is
+    kept iff the budget was not yet exhausted when its turn came, so every
+    group overshoots by at most one document and the pick is a stable
+    prefix: raising the budget only ever ADDS documents.
+
+    One shuffle (hash partition by group); the running sum is a bounded
+    window per group. For extreme-scale hot groups, pre-thin with
+    ``mixture_resample`` to a small multiple of the budget first."""
+    h = uniform_hash_hex(F.col(id_col), salt)
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return (df.withColumn("cum_tokens_before", cum_before)
+            .filter(F.col("cum_tokens_before") < budget))
+
+
 def mixture_resample(
     df: DataFrame, group_col: str, keep_fracs: dict[str, float],
     id_col: str, salt: str = "mix",
