@@ -125,7 +125,7 @@ def main() -> None:
         "t01_language_id", "t05_repetition_scores",
         "p01_hash_split", "p02_stratified_quota", "p04_token_budget",
         "s03_user_sessions", "t06_pii_redaction", "t07_quality_filter",
-        "d09_line_dedup",
+        "d09_line_dedup", "p05_pretraining_mix",
         "t03_token_counts", "t04_fingerprints", "r01_pricing_summary",
         "r02_top_customers", "m01_media_features",
     ]

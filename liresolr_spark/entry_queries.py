@@ -1973,6 +1973,79 @@ def d09(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@_reg(
+    "p05_pretraining_mix",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, text, {TOK} AS l
+  FROM documents WHERE doc_id % 17 <> 0),
+sig AS (
+  SELECT doc_id, source, text, l, len(l) AS n_tokens,
+    CASE WHEN len(l) > 0
+         THEN list_sum([length(t) for t in l]) * 1.0 / len(l)
+         ELSE 0 END AS mean_len,
+    CASE WHEN len(l) > 0
+         THEN len(list_filter(l, t -> t IN
+              ('the','and','of','to','in','is','for','with','a','an','it','on','at','by'))) * 1.0 / len(l)
+         ELSE 0 END AS stop_ratio
+  FROM tok),
+q AS (
+  SELECT doc_id, source, text, l, n_tokens FROM sig
+  WHERE n_tokens >= 30 AND n_tokens <= 100000
+    AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.04),
+dedup AS (
+  SELECT doc_id, source, l, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn FROM q)
+  WHERE rn = 1),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(sh)) AS s
+  FROM (SELECT {_SH3} AS sh
+        FROM (SELECT {TOK} AS l FROM documents WHERE doc_id % 17 = 0))),
+cs AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS s
+  FROM (SELECT doc_id, {_SH3} AS sh FROM dedup)),
+cont AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (s)),
+clean AS (
+  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
+  LEFT JOIN cont c ON c.doc_id = d.doc_id WHERE c.doc_id IS NULL),
+bud AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+  FROM (SELECT *, {_UH.format(salt='budget')} AS h FROM clean)),
+lab AS (
+  SELECT source, n_tokens,
+         CASE WHEN {_UH.format(salt='split')} < 'cccccccd' THEN 'train'
+              WHEN {_UH.format(salt='split')} < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM bud WHERE cumb < 2000)
+SELECT split, source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+FROM lab GROUP BY 1, 2 ORDER BY split, source
+""",
+)
+def p05(spark, sf_dir):
+    """End-to-end pretraining-mix assembly: quality gate -> exact dedup ->
+    benchmark decontamination -> per-domain token budget -> train/val/test
+    split, all as ONE composed DataFrame plan (ops/assemble.py). The eval
+    set is every 17th doc; summarized as per-(split, source) doc and token
+    counts."""
+    from liresolr_spark.ops.assemble import pretraining_mix
+
+    docs = _docs(spark, sf_dir)
+    out = pretraining_mix(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        "doc_id", "text", "source",
+        min_tokens=30, min_stopword_ratio=0.04,
+        shingle_n=3, min_overlap=1,
+        budget=2000, split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split", F.col("group").alias("source"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"))
+            .orderBy("split", "source"))
+
+
 # ---------------------------------------------------------------------------
 
 

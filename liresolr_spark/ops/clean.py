@@ -58,6 +58,7 @@ def quality_filter(
     min_tokens: int = 50, max_tokens: int = 100_000,
     min_mean_len: float = 3.0, max_mean_len: float = 10.0,
     min_stopword_ratio: float = 0.0,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style document quality gate: length band, mean-token-length
     band, stopword floor. Emits ``keep`` plus a comma-joined ``reasons``
@@ -95,6 +96,9 @@ def quality_filter(
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         (F.size(fails) == 0).alias("keep"),
         F.array_join(fails, ",").alias("reasons"),
+        # passthrough columns so a composite pipeline stays one scan
+        # instead of re-joining signals back onto the corpus by id
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
