@@ -135,11 +135,21 @@ def main() -> None:
     from liresolr_spark.entry_queries import _doc_stats
 
     _doc_stats(spark, sf_dir)
+    # min-of-N per query, same noise-robust estimator as the build above:
+    # a single run right after the build/compaction phases measures their
+    # leftover GC/cache pressure as much as the query (observed 3x on
+    # q01 vs a quiet JVM)
+    query_repeat = int(os.environ.get("BENCH_QUERY_REPEAT", "2"))
     for name in bench_set:
         fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(query_repeat):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            if best is None or dt < best:
+                best = dt
+        timings[name] = best
 
     # scaling-efficiency evidence (tools/scaling_run.py writes SCALING.json;
     # see BASELINE.md — the local[N]-vs-local[4N] stand-in for N vs 4N

@@ -476,6 +476,15 @@ _SH3 = (
     "for i in generate_series(1, greatest(len(l)-2, 0))]"
 )
 
+# 5-gram variant for the composite pipeline: with 3-grams and overlap>=1
+# the synthetic corpus is ~100% "contaminated" at sf0.1 (295 bench docs
+# cover nearly every trigram) — longer shingles + a 2-hit floor is also
+# what real decontam pipelines run (GPT-3 used 13-grams).
+_SH5 = (
+    "[concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]) "
+    "for i in generate_series(1, greatest(len(l)-4, 0))]"
+)
+
 
 @_reg(
     "d01_exact_dedup",
@@ -2000,12 +2009,14 @@ dedup AS (
   WHERE rn = 1),
 bench AS (
   SELECT DISTINCT unnest(list_distinct(sh)) AS s
-  FROM (SELECT {_SH3} AS sh
+  FROM (SELECT {_SH5} AS sh
         FROM (SELECT {TOK} AS l FROM documents WHERE doc_id % 17 = 0))),
 cs AS (
   SELECT doc_id, unnest(list_distinct(sh)) AS s
-  FROM (SELECT doc_id, {_SH3} AS sh FROM dedup)),
-cont AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (s)),
+  FROM (SELECT doc_id, {_SH5} AS sh FROM dedup)),
+cont AS (
+  SELECT cs.doc_id FROM cs JOIN bench USING (s)
+  GROUP BY cs.doc_id HAVING count(DISTINCT cs.s) >= 2),
 clean AS (
   SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
   LEFT JOIN cont c ON c.doc_id = d.doc_id WHERE c.doc_id IS NULL),
@@ -2038,7 +2049,7 @@ def p05(spark, sf_dir):
         docs.filter(F.col("doc_id") % 17 == 0),
         "doc_id", "text", "source",
         min_tokens=30, min_stopword_ratio=0.04,
-        shingle_n=3, min_overlap=1,
+        shingle_n=5, min_overlap=2,
         budget=2000, split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
     return (out.groupBy("split", F.col("group").alias("source"))
             .agg(F.count("*").alias("n_docs"),

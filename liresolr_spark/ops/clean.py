@@ -67,38 +67,54 @@ def quality_filter(
 
     All signals are O(tokens) array expressions per row — no shuffle; the
     repetition signals live in ``ops.text.repetition_scores`` and compose
-    by join when a pipeline wants the full Gopher rule set."""
-    toks = tokenize_expr(F.col(text_col))
-    n_tok = F.size(toks)
-    mean_len = F.when(
-        n_tok > 0,
-        F.aggregate(F.transform(toks, F.length), F.lit(0),
-                    lambda a, x: a + x) / n_tok).otherwise(F.lit(0.0))
-    stop_ratio = F.when(
-        n_tok > 0,
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))) / n_tok
-    ).otherwise(F.lit(0.0))
+    by join when a pipeline wants the full Gopher rule set.
 
+    The signals are STAGED in separate projections (tokens, then raw
+    signals, then rules): inlined into one select, CollapseProject
+    duplicates the tokenizer regex into every rule expression (~12
+    evaluations per row — measured ~10x slower at sf0.1, same hazard as
+    the shingle eval fixed in ops/dedup.decontaminate). Each staged alias
+    is non-cheap and multiply-referenced downstream, which is exactly the
+    condition under which the optimizer preserves the projection split."""
+    passthrough = list(keep_cols or [])
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in passthrough],
+    )
+    toks, n_tok = F.col("_toks"), F.size("_toks")
+    sig = toked.select(
+        "id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0,
+               F.aggregate(F.transform(toks, F.length), F.lit(0),
+                           lambda a, x: a + x) / n_tok)
+        .otherwise(F.lit(0.0)).alias("_mean_len"),
+        F.when(n_tok > 0,
+               F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))) / n_tok)
+        .otherwise(F.lit(0.0)).alias("_stop_ratio"),
+        *passthrough,
+    )
     rules = [  # (name, failure condition) — order defines `reasons` order
-        ("too_short", n_tok < min_tokens),
-        ("too_long", n_tok > max_tokens),
-        ("mean_len_low", mean_len < min_mean_len),
-        ("mean_len_high", mean_len > max_mean_len),
-        ("few_stopwords", stop_ratio < min_stopword_ratio),
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("mean_len_low", F.col("_mean_len") < min_mean_len),
+        ("mean_len_high", F.col("_mean_len") > max_mean_len),
+        ("few_stopwords", F.col("_stop_ratio") < min_stopword_ratio),
     ]
     fails = F.filter(
         F.array(*[F.when(cond, name).otherwise(F.lit("")) for name, cond in rules]),
         lambda x: x != "")
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+    return sig.select(
+        "id",
+        "n_tokens",
+        F.round("_mean_len", 4).alias("mean_token_len"),
+        F.round("_stop_ratio", 4).alias("stopword_ratio"),
         (F.size(fails) == 0).alias("keep"),
         F.array_join(fails, ",").alias("reasons"),
         # passthrough columns so a composite pipeline stays one scan
         # instead of re-joining signals back onto the corpus by id
-        *[F.col(c) for c in (keep_cols or [])],
+        *passthrough,
     )
 
 
