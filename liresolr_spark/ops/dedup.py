@@ -298,6 +298,13 @@ def dedup_components(
     changed-label count. Each round is one shuffle join + aggregation;
     lineage is cut per round with localCheckpoint so plans don't grow.
 
+    Only EDGE-TOUCHED nodes iterate: a node with no near-dup edge is a
+    singleton whose label can never change, so the loop's join/agg tables
+    shrink from |V| to the edge-endpoint set — at corpus scale billions of
+    rows per round down to the few percent that have a candidate pair.
+    Singletons rejoin (left join, root = own id) only in the final
+    projection.
+
     Returns (id, keep boolean, root long): root = component representative
     (min id, = id itself for singletons and keepers)."""
     verified = verified_near_dup_pairs(df, id_col, text_col, num_hashes,
@@ -307,8 +314,9 @@ def dedup_components(
            .unionByName(edges.select(F.col("id_b").alias("src"),
                                      F.col("id_a").alias("dst"))))
     sym = sym.localCheckpoint(eager=True)
-    labels = df.select(F.col(id_col).alias("id")).withColumn(
-        "root", F.col("id")).localCheckpoint(eager=True)
+    # both directions are present, so src alone covers every endpoint
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("root", F.col("id")).localCheckpoint(eager=True))
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym.src == labels.id)
                 .select(F.col("dst").alias("id"), "root"))
@@ -321,8 +329,12 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "id", (F.col("root") == F.col("id")).alias("keep"), "root")
+    return (df.select(F.col(id_col).alias("id"))
+            .join(labels, "id", "left")
+            .select("id",
+                    F.coalesce("root", F.col("id")).alias("root"))
+            .select("id", (F.col("root") == F.col("id")).alias("keep"),
+                    "root"))
 
 
 def decontaminate(
