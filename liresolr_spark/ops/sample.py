@@ -38,7 +38,15 @@ def uniform_hash_hex(id_col: Column, salt: str) -> Column:
 
 
 def hex_threshold(frac: float) -> str:
-    """8-hex-char cutoff such that P(hash < cutoff) = frac."""
+    """8-hex-char cutoff such that P(hash < cutoff) = frac.
+
+    frac >= 1.0 returns the keep-all sentinel 'g' (> every hex char) rather
+    than a clamped 'ffffffff': the clamp would silently drop any row whose
+    salted hash is exactly ffffffff — 2^-32 per row, i.e. tens of documents
+    on a 10^11-doc corpus, violating the 'kept whole' contract (round-3
+    advice)."""
+    if frac >= 1.0:
+        return "g"
     return format(max(0, min(int(round(frac * _FULL)), _FULL - 1)), "08x")
 
 

@@ -245,13 +245,23 @@ def compact_index(
     }
 
     if in_place:
-        for key in ("docstats", "blocks", "dictionary", "manifest",
-                    "tombstones"):
-            shutil.rmtree(p_in[key], ignore_errors=True)
-            if os.path.exists(p_out[key]):
-                shutil.move(p_out[key], p_in[key])
-        write_meta(index_dir, new_meta)
-        shutil.rmtree(out, ignore_errors=True)
+        # whole-directory swap, never artifact-by-artifact: the previous
+        # scheme deleted old artifact dirs and moved new ones BEFORE writing
+        # the new meta.json, so a crash in that window left the OLD meta
+        # (old n_docs/docs_per_shard/avgdl) over renumbered artifacts —
+        # silently wrong query results (round-3 advice). With the dir swap a
+        # crash leaves, at every instant, two internally-consistent indexes
+        # on disk: before the first rename the old index serves unchanged;
+        # between the renames index_dir is briefly ABSENT (a loud, detectable
+        # state — recover by renaming either .old or .compact back); after
+        # the second rename the new index is fully live. The new index's own
+        # meta.json was already committed above, so whichever directory wins
+        # is complete.
+        old = index_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(index_dir, old)
+        shutil.move(out, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
         metrics["out_dir"] = index_dir
 
     import json

@@ -63,10 +63,11 @@ from liresolr_spark.plans.build import BLOCK_SCHEMA
 from liresolr_spark.functions.tokenizer import tokenize_expr
 from liresolr_spark.sources.corpus import assign_doc_ids
 
-# Solr-style unique key for cross-segment overwrite: re-adding the same
+# Solr-style unique key for overwrite semantics: re-adding the same
 # (repo, path) — a new commit/content of the same file — supersedes the old
-# version (last-write-wins, like the reference's overwrite=true). The full
-# NATURAL_KEY (with commit) still governs within-batch dedup.
+# version (last-write-wins, like the reference's overwrite=true). Applied
+# BOTH across segments (tombstones) and within a micro-batch (deterministic
+# winner per key before indexing — see append_segment).
 UNIQUE_KEY = ["repo", "path"]
 
 
@@ -94,6 +95,21 @@ def append_segment(
     (foreachBatch at-least-once contract) is skipped if its epoch committed,
     and a half-written attempt's shard dirs are cleaned before re-writing.
     """
+    # WITHIN-batch overwrite: two versions of the same UNIQUE_KEY (repo,
+    # path) arriving in one micro-batch resolve to a single winner BEFORE
+    # indexing — Solr overwrite=true is last-write-wins, and without this
+    # both versions stayed live indefinitely (the cross-segment tombstones
+    # below only supersede EARLIER segments; round-3 advice). The reference's
+    # arrival order is racy (parallel indexer), so the winner is made
+    # deterministic: highest commit, ties broken by content hash. One
+    # shuffle keyed by UNIQUE_KEY, bounded by the batch size.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*UNIQUE_KEY).orderBy(
+        F.desc("commit"), F.desc(F.md5("content")))
+    batch = (batch.withColumn("_ver", F.row_number().over(w))
+             .filter(F.col("_ver") == 1).drop("_ver"))
+
     p = _paths(index_dir)
     if not os.path.exists(p["meta"]):
         # first build: the epoch ledger rides INSIDE build_index's single

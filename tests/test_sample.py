@@ -70,5 +70,19 @@ def test_mixture_resample_fracs_and_drop(spark, ids):
 
 def test_hex_threshold_bounds():
     assert hex_threshold(0.0) == "00000000"
-    assert hex_threshold(1.0) == "ffffffff"
+    # frac >= 1.0 must be the keep-all sentinel, NOT a clamped 'ffffffff':
+    # the clamp silently dropped rows whose salted hash is exactly ffffffff
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(1.5) == "g"
     assert hex_threshold(0.5) == "80000000"
+    # just below 1.0 still yields a real hex cutoff
+    assert hex_threshold(1.0 - 2**-33) == "ffffffff"
+
+
+def test_mixture_resample_explicit_full_keep(spark, ids):
+    """An explicit keep fraction of 1.0 must keep the group WHOLE —
+    identical to not listing the group at all (round-3 advice)."""
+    ids_s = ids.withColumn("grp", F.col("grp").cast("string"))
+    out = mixture_resample(ids_s, "grp", {"0": 1.0, "1": 0.5}, "id")
+    full = ids_s.filter(F.col("grp") == "0").count()
+    assert out.filter(F.col("grp") == "0").count() == full

@@ -139,3 +139,32 @@ def test_uncommitted_append_retry_does_not_double_df(spark, streamed_index):
     assert df_after_retry == df_after_clean
     assert read_meta(idx).n_docs == spark.read.parquet(
         f"{idx}/docstats").count()
+
+
+def test_within_batch_overwrite_last_write_wins(spark, tmp_path):
+    """Two versions of the same UNIQUE_KEY (repo, path) in ONE micro-batch
+    must resolve to a single live doc — Solr overwrite=true last-write-wins
+    (round-3 advice: before the fix both versions stayed live forever, since
+    cross-segment tombstones only supersede EARLIER segments). The winner is
+    deterministic: highest commit."""
+    idx = str(tmp_path / "lww_idx")
+    base = spark.createDataFrame(
+        [("r1", "a.py", "c_base", "python", "alpha beta gamma")],
+        "repo string, path string, commit string, lang string, content string")
+    append_segment(base, idx, num_shards=2, block_size=32)
+
+    dup = spark.createDataFrame(
+        [("r1", "b.py", "c1", "python", "delta one"),
+         ("r1", "b.py", "c2", "python", "delta two"),   # same key, new commit
+         ("r1", "c.py", "c1", "python", "epsilon")],
+        "repo string, path string, commit string, lang string, content string")
+    out = append_segment(dup, idx, epoch_id=1)
+    assert out["appended_docs"] == 2  # b.py collapsed to its winner
+
+    stats = spark.read.parquet(f"{idx}/docstats")
+    b_rows = stats.filter(F.col("path") == "b.py").collect()
+    assert len(b_rows) == 1 and b_rows[0]["commit"] == "c2"
+
+    # the winning version is queryable; the loser's content never indexed
+    hits = wand_topk(spark, idx, py_tokenize("delta"), k=5).collect()
+    assert len(hits) == 1
