@@ -56,6 +56,10 @@ class LireQueryEngine:
     # above this many dictionary entries the driver-side snapshot is not
     # pinned (a 10^8-term dictionary belongs on the cluster, not the driver)
     MAX_DRIVER_DICT_TERMS = 2_000_000
+    # distinct fq strings whose allow-lists stay pinned (LRU): the
+    # CachingWrapperFilter analog (ref: LireRequestHandler.java:547) — Solr
+    # caches each filter query's bitset so repeated fq's skip the scan
+    FQ_CACHE_SIZE = 32
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  pin_blocks: bool = True):
@@ -70,6 +74,9 @@ class LireQueryEngine:
         self.last_metrics: dict = {}
         self.request_stats: dict = {
             "numRequests": 0, "numErrors": 0, "totalTime_ms": 0.0}
+        from collections import OrderedDict
+
+        self._fq_cache: OrderedDict[str, DataFrame] = OrderedDict()
         self._open()
 
     def _open(self) -> None:
@@ -117,6 +124,9 @@ class LireQueryEngine:
         idf and the block listing agree with the new commit. A live engine
         that skips this serves the PREVIOUS snapshot consistently — caches
         are never half-refreshed."""
+        for allow in self._fq_cache.values():
+            allow.unpersist()
+        self._fq_cache.clear()
         self._dictionary.unpersist()
         if self._deny is not None:
             self._deny.unpersist()
@@ -139,6 +149,28 @@ class LireQueryEngine:
             return self._docstats_df
         return self._docstats_df.join(
             self._deny.select("docID"), "docID", "left_anti")
+
+    def _fq_allow(self, fq: str) -> DataFrame:
+        """Allow-list (shard, docID) DataFrame for an fq, cached per fq
+        string — the CachingWrapperFilter analog (Solr computes a filter
+        query's bitset once per searcher and reuses it,
+        ref: LireRequestHandler.java:547). Without this, every repeated-fq
+        search re-scanned the corpus-sized docstats table (the common
+        dashboard pattern: same filter, many queries). LRU-bounded at
+        FQ_CACHE_SIZE; `refresh()` drops the whole cache, since a new
+        segment changes every allow-list (the searcher-reopen analog —
+        Solr's filterCache is likewise per-searcher)."""
+        cached = self._fq_cache.get(fq)
+        if cached is not None:
+            self._fq_cache.move_to_end(fq)
+            return cached
+        allow = (self._docstats().filter(F.expr(fq))
+                 .select("shard", "docID").cache())
+        self._fq_cache[fq] = allow
+        if len(self._fq_cache) > self.FQ_CACHE_SIZE:
+            _, evicted = self._fq_cache.popitem(last=False)
+            evicted.unpersist()
+        return allow
 
     def _field_present(self, field: str) -> bool:
         """True iff the index carries any terms for `field` (e.g. an index
@@ -246,10 +278,9 @@ class LireQueryEngine:
         # — a selective fq can no longer silently lose matches that fell
         # outside an unfiltered candidate pool (round-2 verdict fix). The
         # allow-list is proportional to fq selectivity; Lucene's analog is
-        # the filter bitset ANDed into the collector.
-        allow = None
-        if fq:
-            allow = self._docstats().filter(F.expr(fq)).select("shard", "docID")
+        # the filter bitset ANDed into the collector. Cached per fq string
+        # (see _fq_allow), so repeated filters skip the docstats scan.
+        allow = self._fq_allow(fq) if fq else None
         hits = self._wand(terms, k=pool, field=field, allow_docids=allow)
         out = self._project(self._paginate(hits, start, rows))
         if fl_expr is not None:

@@ -167,6 +167,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     group_col: str | None = None, n: int = 3, threshold: float = 0.0,
+    max_group_rows: int = 200_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: distinct shingle sets,
     equi-join on shingle (within group_col if given) to count intersections,
@@ -174,10 +175,22 @@ def ngram_jaccard_pairs(
 
     Scale: the shingle join is an equi-join whose fan-out is bounded by
     shingle df; restrict with group_col (e.g. LSH bucket or source) to keep
-    candidate generation sub-quadratic."""
+    candidate generation sub-quadratic.
+
+    HOT-GROUP GUARD (round-3 verdict #7): pair volume is still quadratic in
+    a single group's size, so any group above `max_group_rows` documents
+    gets a 1-permutation MinHash (min over the doc's shingle md5s) COMPOSED
+    into its group key. Within a guarded group the operator degrades to a
+    MinHash-blocked approximation — a pair survives with probability equal
+    to its own Jaccard (the MinHash collision law), so exact duplicates
+    (j=1.0) are always retained and high-j near-dups survive with high
+    probability, while the per-key pair volume stays bounded however skewed
+    the grouping column is. Groups under the threshold stay EXACT. Cold
+    groups pay only a broadcast-joined flag; the MinHash agg runs over hot
+    groups' shingles only."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        *([F.col(group_col).alias("grp")] if group_col else []),
+        *([F.col(group_col).cast("string").alias("grp")] if group_col else []),
         tokenize_expr(F.col(text_col)).alias("toks"),
     )
     sh = toks.select(
@@ -185,6 +198,18 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles_expr(F.col("toks"), n))).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if group_col:
+        hot = (toks.groupBy("grp").agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_group_rows)
+               .select("grp", F.lit(True).alias("_hot")))
+        flagged = sh.join(F.broadcast(hot), "grp", "left")
+        cold = flagged.filter(F.col("_hot").isNull()).drop("_hot")
+        hot_sh = flagged.filter(F.col("_hot").isNotNull()).drop("_hot")
+        mh = hot_sh.groupBy("id").agg(F.min(F.md5("s")).alias("_mh"))
+        rekeyed = (hot_sh.join(mh, "id")
+                   .withColumn("grp", F.concat_ws("|", "grp", "_mh"))
+                   .drop("_mh"))
+        sh = cold.unionByName(rekeyed)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))

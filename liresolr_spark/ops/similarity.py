@@ -125,6 +125,7 @@ def neardup_pairs(
     emb: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",
     block_col: str | None = "label", bucket_dims: int = 8,
+    max_block_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: equi-join on the blocking key then
     exact cosine filter. Blocking keeps the join sub-quadratic; never an
@@ -136,14 +137,37 @@ def neardup_pairs(
     generator (standard LSH recall trade-off: antipodal-ish near-dups in
     different buckets are missed), chosen over the all-pairs fallback the
     operator used to have, which was quadratic in the hot-block size
-    (round-2 verdict). A hot explicit block has the same hazard — prefer
-    the bucket default or compose with `band_join_pairs`."""
+    (round-2 verdict).
+
+    HOT-BLOCK GUARD (round-3 verdict #7): an explicit block is still
+    quadratic in its own size, so any block above `max_block_rows` gets the
+    sign-LSH key COMPOSED into its block key — per-key pair volume is then
+    bounded no matter how skewed the blocking column is (one giant `source`
+    can no longer produce an O(n^2) task). Inside a guarded block the
+    operator degrades to the same LSH approximation as block_col=None
+    (exact-duplicate vectors always share a sign bucket, so true duplicates
+    are never lost); blocks under the threshold stay EXACT. The size check
+    is one extra agg on the same key the join shuffles on."""
     cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
-        cols.append(F.col(block_col).alias("blk"))
+        cols.append(F.col(block_col).cast("string").alias("blk"))
     e = emb.select(*cols)
     if not block_col:
         e = e.withColumn("blk", sign_bucket_expr(F.col("v"), bucket_dims))
+    else:
+        hot = (e.groupBy("blk").agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_block_rows)
+               .select("blk", F.lit(True).alias("_hot")))
+        # hot-block table is tiny by construction (<= corpus/max_block_rows
+        # rows) — broadcast, never a shuffle of the corpus side
+        e = (e.join(F.broadcast(hot), "blk", "left")
+             .withColumn(
+                 "blk",
+                 F.when(F.col("_hot").isNotNull(),
+                        F.concat_ws("|", F.col("blk"),
+                                    sign_bucket_expr(F.col("v"), bucket_dims)))
+                 .otherwise(F.col("blk")))
+             .drop("_hot"))
     a, b = e.alias("a"), e.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
     pairs = a.join(b, cond).select(

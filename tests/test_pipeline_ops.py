@@ -76,3 +76,99 @@ class TestRepetitionScores:
         assert e["n_lines"] == 0 and e["dup_line_frac"] == 0.0
         assert e["top_token_frac"] == 0.0 and e["top_bigram_frac"] == 0.0
         assert s["top_token_frac"] == 1.0 and s["top_bigram_frac"] == 0.0
+
+
+class TestHotBlockGuards:
+    """Round-3 verdict #7: explicit-block pair ops were quadratic in a hot
+    block's size. The guard composes an LSH key into any block above the
+    row threshold, so the hazard can't be triggered by a skewed blocking
+    column. Contract: small blocks stay EXACT; guarded blocks return a
+    SUBSET of the exact pairs (blocking only ever removes candidates) in
+    which exact duplicates are always retained."""
+
+    def _corpus(self, spark):
+        # one hot group: 3 identical twins + distinct docs
+        rows = []
+        for i in range(8):
+            rows.append((i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}"))
+        for i in range(3):
+            rows.append((100 + i, "same same same words every time here now"))
+            rows.append((200 + i, "same same same words every time here now"))
+        return spark.createDataFrame(
+            [(i, t, "g1") for i, t in rows],
+            "doc_id long, text string, src string")
+
+    def test_ngram_jaccard_guard_subset_and_exact_dups(self, spark):
+        from liresolr_spark.ops.dedup import ngram_jaccard_pairs
+
+        docs = self._corpus(spark)
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(
+                     docs, "doc_id", "text", group_col="src").collect()}
+        guarded = {(r["id_a"], r["id_b"]): r["jaccard"]
+                   for r in ngram_jaccard_pairs(
+                       docs, "doc_id", "text", group_col="src",
+                       max_group_rows=4).collect()}
+        # subset with identical values
+        assert set(guarded) <= set(exact)
+        for k, v in guarded.items():
+            assert v == exact[k]
+        # every exact-duplicate pair (j = 1.0) survives the guard
+        dup_pairs = {k for k, v in exact.items() if v == 1.0}
+        assert dup_pairs and dup_pairs <= set(guarded)
+        # small group (threshold not hit) stays exact
+        same = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, "doc_id", "text", group_col="src",
+                    max_group_rows=1000).collect()}
+        assert same == exact
+
+    def test_neardup_guard_subset_and_exact_dups(self, spark):
+        from liresolr_spark.ops.similarity import neardup_pairs
+
+        rows = []
+        for i in range(10):  # spread across sign buckets
+            v = [(-1.0 if (i >> b) & 1 else 1.0) * (1.0 + 0.01 * i)
+                 for b in range(4)]
+            rows.append((i, v, "blk"))
+        for i in range(3):   # identical twins (same sign bucket by identity)
+            rows.append((100 + i, [0.5, 0.5, 0.5, 0.5], "blk"))
+            rows.append((200 + i, [0.5, 0.5, 0.5, 0.5], "blk"))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        exact = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in neardup_pairs(emb, 0.99).collect()}
+        guarded = {(r["id_a"], r["id_b"]): r["cosine"]
+                   for r in neardup_pairs(
+                       emb, 0.99, max_block_rows=4, bucket_dims=4).collect()}
+        assert set(guarded) <= set(exact)
+        dup_pairs = {k for k, v in exact.items() if v == 1.0}
+        assert dup_pairs and dup_pairs <= set(guarded)
+
+
+class TestFqAllowCache:
+    """SURVEY O5: the fq allow-list cache (CachingWrapperFilter analog) —
+    repeated fq strings must reuse ONE cached allow-list DataFrame, results
+    must be identical with and without the cache hit, and refresh() must
+    drop the cache (per-searcher semantics)."""
+
+    def test_repeated_fq_reuses_allow_list(self, spark, tmp_path):
+        from liresolr_spark.api import LireQueryEngine
+        from liresolr_spark.plans.build import build_index
+        from liresolr_spark.sources.corpus import synthetic_code_corpus
+
+        idx = str(tmp_path / "fqc_idx")
+        build_index(synthetic_code_corpus(spark, 200, seed=3), idx,
+                    num_shards=4, block_size=64)
+        eng = LireQueryEngine(spark, idx)
+        fq = "lang = 'python'"
+        r1 = eng.search(text="readFile bufPack", fq=fq, rows=5).collect()
+        a1 = eng._fq_cache.get(fq)
+        r2 = eng.search(text="readFile bufPack", fq=fq, rows=5).collect()
+        a2 = eng._fq_cache.get(fq)
+        assert a1 is not None and a1 is a2  # same cached DataFrame reused
+        assert [(r.docID, r.score) for r in r1] == \
+               [(r.docID, r.score) for r in r2]
+        assert all(r.lang == "python" for r in r1)
+        eng.refresh()
+        assert not eng._fq_cache  # searcher reopen drops the filter cache
