@@ -86,6 +86,32 @@ def main() -> None:
         cm["compacted_docs"] / max(timings["compact_index"], 1e-9), 2)
     shutil.rmtree(idx + ".compact", ignore_errors=True)
 
+    # ---- TIERED partial compaction: cost must track the MERGED segments,
+    # not the index (round-3 verdict #6). Two ~500-doc segments (one
+    # overwriting part of the other) appended to a COPY of the main index,
+    # then merged; extras record the full-vs-partial cost ratio.
+    from liresolr_spark.plans.compact import compact_segments
+    from liresolr_spark.streaming.ingest import append_segment
+
+    seg_idx = idx + ".seg"
+    shutil.rmtree(seg_idx, ignore_errors=True)
+    shutil.copytree(idx, seg_idx)
+    tail = synthetic_code_corpus(spark, 1000, seed=77).withColumn(
+        "repo", F.concat(F.lit("tail/"), F.col("repo")))
+    b1 = tail.filter(F.crc32(F.col("path")) % 2 == 0)
+    b2 = tail.filter(F.crc32(F.col("path")) % 2 == 1).unionByName(
+        b1.limit(100).withColumn(
+            "commit", F.concat(F.col("commit"), F.lit("_v2"))))
+    append_segment(b1, seg_idx, epoch_id=101)
+    append_segment(b2, seg_idx, epoch_id=102)
+    t0 = time.time()
+    sm = compact_segments(spark, seg_idx)
+    timings["compact_segments_1k"] = round(time.time() - t0, 3)
+    extras["compact_segments_docs"] = sm["merged_docs"]
+    extras["compact_full_over_partial"] = round(
+        timings["compact_index"] / max(timings["compact_segments_1k"], 1e-9), 2)
+    shutil.rmtree(seg_idx, ignore_errors=True)
+
     # ---- WAND query latency (the headline query path) -----------------------
     t0 = time.time()
     wand_topk(spark, idx, py_tokenize("readFile tokenBlock sortMerge"), k=60).collect()
@@ -113,6 +139,25 @@ def main() -> None:
     dt = time.time() - t0
     timings["serving_batch_60q"] = round(dt, 3)
     extras["serving_queries_per_sec"] = round(len(texts) / dt, 2)
+
+    # served dual-field handlers (identity cascade / similar pool union)
+    t0 = time.time()
+    eng.identity(qbase[0], threshold=0.9999, verify_threshold=0.9999,
+                 rows=10).collect()
+    timings["serving_identity"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    eng.similar(qbase[1], rows=10).collect()
+    timings["serving_similar"] = round(time.time() - t0, 3)
+
+    # repeated-fq serving: second call reuses the cached allow-list
+    # (CachingWrapperFilter analog) — extras record first vs repeat
+    fq = "lang = 'python'"
+    t0 = time.time()
+    eng.search(text=qbase[2], fq=fq, rows=10).collect()
+    extras["fq_first_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    eng.search(text=qbase[3], fq=fq, rows=10).collect()
+    extras["fq_repeat_sec"] = round(time.time() - t0, 3)
 
     # ---- registry queries (oracle-checked workload) --------------------------
     bench_set = [

@@ -85,6 +85,12 @@ class IndexMeta:
     b: float
     format_version: int = 1  # pre-doclens indexes carry no key -> 1
     total_doclen: float = 0.0  # sum of doclens; lets appends update avgdl
+    # docID allocator for the next append. n_docs stopped being a safe
+    # allocator once partial compaction (plans.compact.compact_segments)
+    # could physically drop docs WITHOUT renumbering survivors: n_docs then
+    # shrinks below max(docID)+1 and an append starting at n_docs would
+    # collide. None (older indexes) falls back to n_docs.
+    next_docid: int | None = None
     # applied streaming epochs ride INSIDE meta.json so the ledger and the
     # index statistics commit in ONE atomic rename — a crash can never leave
     # meta updated but the epoch unrecorded (which would double-append on
@@ -101,6 +107,8 @@ def _paths(index_dir: str) -> dict:
         "tombstones": os.path.join(index_dir, "tombstones"),
         "meta": os.path.join(index_dir, "meta.json"),
         "metrics": os.path.join(index_dir, "metrics.json"),
+        # partial-compaction two-phase-commit marker (plans.compact)
+        "segmarker": os.path.join(index_dir, "compact_segments.json"),
     }
 
 
@@ -118,7 +126,20 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def read_meta(index_dir: str) -> IndexMeta:
-    with open(_paths(index_dir)["meta"]) as f:
+    """Load the index commit point. Refuses to open an index with a live
+    partial-compaction marker: between the marker write and the meta commit
+    the directory may hold BOTH the old and the rebuilt copy of the merged
+    segments (duplicate postings) — a crashed compact_segments must be
+    resolved by `plans.compact.repair_segment_compaction` first (the
+    segments_N-style visibility gate Lucene gets from its commit file)."""
+    p = _paths(index_dir)
+    if os.path.exists(p["segmarker"]):
+        raise RuntimeError(
+            f"index {index_dir} has an unfinished partial compaction "
+            "(compact_segments.json present); run "
+            "liresolr_spark.plans.compact.repair_segment_compaction() "
+            "to roll it forward or back")
+    with open(p["meta"]) as f:
         return IndexMeta(**json.load(f))
 
 
@@ -451,7 +472,7 @@ def build_index(
             docs_per_shard=docs_per_shard, block_size=block_size,
             hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
             format_version=INDEX_FORMAT_VERSION,
-            total_doclen=total_doclen,
+            total_doclen=total_doclen, next_docid=n_docs,
             applied_epochs=(sorted(applied_epochs)
                             if applied_epochs is not None else None),
         )

@@ -229,6 +229,7 @@ def compact_index(
         docs_per_shard=docs_per_shard, block_size=blk,
         hash_version=meta.hash_version, k1=meta.k1, b=meta.b,
         format_version=meta.format_version, total_doclen=total_doclen,
+        next_docid=n_docs,  # full compaction renumbers densely
         # epoch ledger survives: a checkpointed ingest resumed after
         # compaction must still skip already-applied epochs
         applied_epochs=meta.applied_epochs,
@@ -269,3 +270,270 @@ def compact_index(
     with open(_paths(metrics["out_dir"])["metrics"], "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Tiered / partial compaction (round-3 verdict #6)
+# ---------------------------------------------------------------------------
+
+def _segments(spark: SparkSession, index_dir: str) -> list[tuple[int, int, int]]:
+    """[(seg_id, shard_lo, shard_hi)] — a segment is one append unit: the
+    base build is seg 0 covering shards [0, first_append); each append's
+    seg id is the shard it started at (the layout append_segment writes:
+    dictionary seg=<base_shard> fragments)."""
+    p = _paths(index_dir)
+    segs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(p["dictionary"]) if d.startswith("seg="))
+    hi = read_meta(index_dir).num_shards
+    bounds = segs + [hi]
+    return [(segs[i], bounds[i], bounds[i + 1]) for i in range(len(segs))]
+
+
+def compact_segments(
+    spark: SparkSession,
+    index_dir: str,
+    max_segment_docs: int | None = None,
+    min_segments: int = 2,
+) -> dict:
+    """TIERED partial compaction: merge only SMALL appended segments into
+    one fresh segment, leaving the (large) base segment untouched — the
+    TieredMergePolicy shape behind the reference's commitWithin appends
+    (ref: scripts/add_histograms.py:40; Lucene merges candidate segments by
+    size, never the whole index). `compact_index` rewrites everything and
+    costs O(index); this costs O(merged segments) — the right cadence at
+    100 TB is frequent small-segment merges with a rare full rewrite.
+
+    Semantics:
+    - candidate segments: appended segments (seg != 0) holding
+      <= max_segment_docs docs (None = every appended segment). Fewer than
+      `min_segments` candidates and no tombstones to apply -> no-op.
+    - surviving docs KEEP their docIDs (no global renumber — that is what
+      makes the base untouchable); they are re-sharded into fresh shard ids
+      allocated above meta.num_shards, so readers' dir listing stays
+      collision-free and the next append's base_shard stays valid.
+    - tombstones whose target lies INSIDE the merged segments are applied
+      physically (docs + postings dropped, exactly a Lucene merge);
+      tombstones recorded BY merged segments but targeting the base/kept
+      segments are rewritten under the new segment's seg dir (they must
+      outlive the merge). Dangling tombstones in kept segments that target
+      now-dropped docIDs are harmless (the deny-list just never matches).
+    - statistics become exact for the dropped docs: n_docs/total_doclen
+      shrink, avgdl is recomputed, the merged segments' dictionary
+      fragments are replaced by one fragment over live postings — df no
+      longer counts the physically removed docs (base-fragment df never
+      counted them: appends only tombstone EARLIER segments' docs, so a
+      doc's own fragment is always older than its tombstone).
+    - meta.next_docid is the append allocator and is NOT reduced.
+
+    Crash safety (two-phase commit, the segments_N analog): a marker file
+    (compact_segments.json) carrying the full recovery payload is written
+    FIRST; read_meta refuses to open the index while it exists, and
+    `repair_segment_compaction` rolls an interrupted run back (new dirs
+    removed) or forward (old dirs removed, meta committed) depending on how
+    far it got. The marker is deleted last.
+    """
+    import json
+    import time
+
+    t0 = time.time()
+    meta = read_meta(index_dir)
+    p = _paths(index_dir)
+    segs = _segments(spark, index_dir)
+    appended = [s for s in segs if s[0] != segs[0][0]]
+
+    docstats = spark.read.parquet(p["docstats"])
+    # live docs per appended segment, aggregated from per-shard counts
+    per_seg: dict[int, int] = {}
+    for r in docstats.groupBy("shard").agg(F.count("*").alias("n")).collect():
+        for seg_lo, lo, hi in appended:
+            if lo <= int(r["shard"]) < hi:
+                per_seg[seg_lo] = per_seg.get(seg_lo, 0) + int(r["n"])
+
+    merge = [s for s in appended
+             if max_segment_docs is None or per_seg.get(s[0], 0) <= max_segment_docs]
+    merge_shards = [sh for _, lo, hi in merge for sh in range(lo, hi)]
+    merge_seg_ids = [s[0] for s in merge]
+
+    tombs = load_tombstones(spark, index_dir)
+    n_drop_inside = 0
+    if tombs is not None:
+        n_drop_inside = tombs.filter(
+            F.col("shard").isin(merge_shards)).select("docID").distinct().count()
+    if len(merge) < min_segments and n_drop_inside == 0:
+        return {"merged_segments": 0, "reason": "nothing to merge"}
+
+    mstats = docstats.filter(F.col("shard").isin(merge_shards))
+    drop = (tombs.filter(F.col("shard").isin(merge_shards))
+            .select("docID").distinct() if tombs is not None else None)
+    live = mstats if drop is None else mstats.join(drop, "docID", "left_anti")
+
+    # fresh shard ids above every existing one; survivors keep their docIDs
+    new_base = meta.num_shards
+    from liresolr_spark.sources.corpus import assign_doc_ids
+
+    ranked = assign_doc_ids(
+        live.withColumnRenamed("docID", "old_docID")
+        .withColumnRenamed("shard", "old_shard"),
+        keys=["old_docID"], cache=True)
+    cache_handle = ranked._lsr_cached_part
+    agg = ranked.agg(F.count("*").alias("n"), F.sum("doclen").alias("s"),
+                     F.max("docID").alias("mx")).first()
+    n_live, live_doclen = int(agg["n"]), float(agg["s"] or 0.0)
+    n_merged_total = int(mstats.count())
+    n_dropped = n_merged_total - n_live
+    new_shards = ((int(agg["mx"]) // meta.docs_per_shard + 1)
+                  if n_live else 0)
+
+    new_meta = IndexMeta(
+        n_docs=meta.n_docs - n_dropped,
+        avgdl=((meta.total_doclen - (
+            float(mstats.agg(F.sum("doclen")).first()[0] or 0.0) - live_doclen))
+            / max(meta.n_docs - n_dropped, 1)),
+        num_shards=new_base + new_shards,
+        docs_per_shard=meta.docs_per_shard, block_size=meta.block_size,
+        hash_version=meta.hash_version, k1=meta.k1, b=meta.b,
+        format_version=meta.format_version,
+        total_doclen=meta.total_doclen - (
+            float(mstats.agg(F.sum("doclen")).first()[0] or 0.0) - live_doclen),
+        next_docid=(meta.next_docid if meta.next_docid is not None
+                    else meta.n_docs),
+        applied_epochs=meta.applied_epochs,
+    )
+
+    # ---- phase 1: marker with the full recovery payload -------------------
+    marker = {
+        "new_seg": new_base,
+        "new_shards": list(range(new_base, new_base + new_shards)),
+        "merged_shards": merge_shards,
+        "merged_seg_ids": merge_seg_ids,
+        "new_meta": {k: v for k, v in new_meta.__dict__.items()},
+    }
+    tmp = p["segmarker"] + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, p["segmarker"])
+
+    # ---- phase 2: write the merged segment under NEW shard/seg ids --------
+    new_map = ranked.select(
+        F.col("old_docID").alias("docID"),
+        (F.lit(new_base) + (F.col("docID") / F.lit(meta.docs_per_shard))
+         .cast("int")).alias("shard"),
+        "repo", "path", "commit", "lang", "doclen", "sha256")
+    new_map.write.mode("append").partitionBy("shard").parquet(p["docstats"])
+
+    shard_of = new_map.select("docID", "shard")
+    merged_blocks = spark.read.parquet(p["blocks"]).filter(
+        F.col("shard").isin(merge_shards))
+    postings = _decoded_postings(merged_blocks)
+    remapped = postings.join(shard_of, "docID").select(
+        "shard", "field", "term", "docID", "tf", "doclen")
+
+    group_salts = max(1, int(-(-(live_doclen / max(new_shards, 1))
+                               // TARGET_GROUP_ROWS)))
+    builder = _block_builder(meta.block_size, BM25_K1, BM25_B, new_meta.avgdl)
+    if group_salts > 1:
+        salted = remapped.withColumn(
+            "gsalt", F.pmod(F.xxhash64("term"), F.lit(group_salts)).cast("int"))
+        blocks = salted.groupBy("shard", "field", "gsalt").applyInArrow(
+            builder, schema=BLOCK_SCHEMA)
+    else:
+        blocks = remapped.groupBy("shard", "field").applyInArrow(
+            builder, schema=BLOCK_SCHEMA)
+    (blocks.sortWithinPartitions("field", "term", "block_seq")
+     .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
+
+    seg_blocks = spark.read.parquet(p["blocks"]).filter(
+        F.col("shard") >= new_base)
+    (seg_blocks.groupBy("shard").agg(
+        F.min("term").alias("term_lo"), F.max("term").alias("term_hi"),
+        F.sum(F.length("docids") + F.length("tfs")
+              + F.length("doclens")).alias("bytes_written"))
+     .join(new_map.groupBy("shard").agg(F.count("*").alias("docs_indexed")),
+           "shard", "full")
+     .withColumn("status", F.lit("done"))
+     .write.mode("append").partitionBy("shard").parquet(p["manifest"]))
+    (seg_blocks.groupBy("field", "term")
+     .agg(F.sum("count").alias("df"), F.max("max_tf_norm").alias("max_tf_norm"))
+     .withColumn("seg", F.lit(new_base))
+     .write.mode("append").partitionBy("seg").parquet(p["dictionary"]))
+
+    # tombstones recorded by merged segments but targeting docs we did NOT
+    # rebuild (base / kept segments) must survive under the new seg dir
+    if tombs is not None:
+        surviving = tombs.filter(
+            F.col("seg").isin(merge_seg_ids)
+            & ~F.col("shard").isin(merge_shards))
+        (surviving.select("docID", "shard").withColumn("seg", F.lit(new_base))
+         .write.mode("append").partitionBy("seg").parquet(p["tombstones"]))
+
+    if cache_handle is not None:
+        cache_handle.unpersist()
+
+    # ---- phase 3: drop the old merged artifacts ----------------------------
+    for key, prefix, ids in (
+        ("docstats", "shard=", merge_shards), ("blocks", "shard=", merge_shards),
+        ("manifest", "shard=", merge_shards),
+        ("dictionary", "seg=", merge_seg_ids),
+        ("tombstones", "seg=", merge_seg_ids),
+    ):
+        base_dir = p[key]
+        if os.path.exists(base_dir):
+            for d in os.listdir(base_dir):
+                if d.startswith(prefix) and int(d.split("=", 1)[1]) in ids:
+                    shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+
+    # ---- phase 4+5: commit meta, clear the marker --------------------------
+    write_meta(index_dir, new_meta)
+    os.remove(p["segmarker"])
+
+    return {
+        "merged_segments": len(merge), "merged_docs": n_merged_total,
+        "dropped_docs": n_dropped, "new_seg": new_base,
+        "new_shards": new_shards, "n_docs": new_meta.n_docs,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+
+
+def repair_segment_compaction(index_dir: str) -> str:
+    """Resolve a crashed compact_segments run (marker present).
+
+    If every old merged artifact still exists, the merge had not reached
+    its delete phase: ROLL BACK by removing the new segment's dirs. If any
+    old artifact is already gone, the merge was past the point of no
+    return: ROLL FORWARD by removing the remaining old dirs and committing
+    the meta payload stored in the marker. Either way the marker is
+    cleared and the index is consistent. Returns 'rolled_back' or
+    'rolled_forward'."""
+    import json
+
+    p = _paths(index_dir)
+    with open(p["segmarker"]) as f:
+        marker = json.load(f)
+
+    def _dirs(key, prefix, ids):
+        return [os.path.join(p[key], f"{prefix}{i}") for i in ids]
+
+    old_dirs = (
+        _dirs("docstats", "shard=", marker["merged_shards"])
+        + _dirs("blocks", "shard=", marker["merged_shards"])
+        + _dirs("dictionary", "seg=", marker["merged_seg_ids"]))
+    new_dirs = (
+        _dirs("docstats", "shard=", marker["new_shards"])
+        + _dirs("blocks", "shard=", marker["new_shards"])
+        + _dirs("manifest", "shard=", marker["new_shards"])
+        + _dirs("dictionary", "seg=", [marker["new_seg"]])
+        + _dirs("tombstones", "seg=", [marker["new_seg"]]))
+
+    if all(os.path.exists(d) for d in old_dirs):
+        for d in new_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        os.remove(p["segmarker"])
+        return "rolled_back"
+    # past the delete phase: finish it
+    for d in old_dirs + _dirs("manifest", "shard=", marker["merged_shards"]) \
+            + _dirs("tombstones", "seg=", marker["merged_seg_ids"]):
+        shutil.rmtree(d, ignore_errors=True)
+    write_meta(index_dir, IndexMeta(**marker["new_meta"]))
+    os.remove(p["segmarker"])
+    return "rolled_forward"

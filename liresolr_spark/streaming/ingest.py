@@ -127,7 +127,8 @@ def append_segment(
 
     spark = batch.sparkSession
     meta = read_meta(index_dir)
-    base_docid = meta.n_docs
+    # allocator, not count: after a partial compaction n_docs < max docID+1
+    base_docid = meta.next_docid if meta.next_docid is not None else meta.n_docs
     base_shard = meta.num_shards
 
     # cache=True: the per-partition count job and the docID-materializing
@@ -260,6 +261,7 @@ def append_segment(
     meta.avgdl = new_avgdl
     meta.total_doclen = new_total
     meta.num_shards = new_shard_hi
+    meta.next_docid = base_docid + n_new
     if epoch_id is not None:
         applied = set(meta.applied_epochs or [])
         applied.add(epoch_id)

@@ -131,3 +131,129 @@ def test_compact_reduces_segment_fanout(spark, corpus200, tmp_path_factory):
     # engine opens and serves the compacted index
     eng = LireQueryEngine(spark, d, pin_blocks=False)
     assert eng.search(text="read file", rows=5).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Tiered / partial compaction (round-3 verdict #6)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def tiered(spark, corpus200, tmp_path):
+    """base = 3/5 of the corpus; seg A and seg B appended; B re-adds half of
+    A's keys (overwrites -> tombstones targeting A ONLY, never the base)."""
+    from liresolr_spark.plans.compact import compact_segments
+
+    d = str(tmp_path / "tiered_ix")
+    g = F.crc32(F.col("path")) % 5
+    base = corpus200.filter(g <= 2)
+    seg_a = corpus200.filter(g == 3)
+    ow = (seg_a.filter(F.crc32(F.col("repo")) % 2 == 0)
+          .withColumn("commit", F.concat(F.col("commit"), F.lit("_v2")))
+          .withColumn("content", F.concat(F.col("content"), F.lit(" upd"))))
+    seg_b = corpus200.filter(g == 4).unionByName(ow)
+    append_segment(base, d, epoch_id=0, num_shards=4, block_size=64)
+    append_segment(seg_a, d, epoch_id=1)
+    m_b = append_segment(seg_b, d, epoch_id=2)
+    # expected surviving corpus after the merge applies the tombstones
+    ow_keys = ow.select("repo", "path")
+    expect = (base
+              .unionByName(seg_a.join(ow_keys, ["repo", "path"], "left_anti"))
+              .unionByName(seg_b))
+    return d, m_b, expect, compact_segments
+
+
+def test_partial_compaction_rank_identity_and_untouched_base(
+        spark, tiered, tmp_path):
+    d, m_b, expect, compact_segments = tiered
+    assert m_b["tombstoned_docs"] > 0
+    base_rows_before = sorted(
+        (r["docID"], r["shard"], r["path"]) for r in
+        spark.read.parquet(f"{d}/docstats").filter(F.col("shard") < 4).collect())
+    n_before = read_meta(d).n_docs
+
+    m = compact_segments(spark, d)
+    assert m["merged_segments"] == 2
+    assert m["dropped_docs"] == m_b["tombstoned_docs"]
+    assert read_meta(d).n_docs == n_before - m["dropped_docs"]
+
+    # the base segment is byte-identical territory: same docIDs, same shards
+    base_rows_after = sorted(
+        (r["docID"], r["shard"], r["path"]) for r in
+        spark.read.parquet(f"{d}/docstats").filter(F.col("shard") < 4).collect())
+    assert base_rows_after == base_rows_before
+    # tombstones all targeted merged segments -> physically applied
+    from liresolr_spark.plans.build import load_tombstones
+    t = load_tombstones(spark, d)
+    assert t is None or t.count() == 0
+    # dictionary fanout: base fragment + ONE merged fragment
+    frags = [x for x in os.listdir(f"{d}/dictionary") if x.startswith("seg=")]
+    assert len(frags) == 2
+
+    # rank identity vs a from-scratch build of the surviving corpus:
+    # partial compaction restores EXACT global stats (N, avgdl, df)
+    ref = str(tmp_path / "tiered_ref")
+    build_index(expect, ref, num_shards=4, block_size=64)
+    assert _hits_keyed(spark, d, QUERY) == _hits_keyed(spark, ref, QUERY)
+    assert abs(read_meta(d).avgdl - read_meta(ref).avgdl) < 1e-9
+
+
+def test_append_after_partial_compaction_no_docid_collision(spark, tiered,
+                                                            corpus200):
+    d, _, _, compact_segments = tiered
+    compact_segments(spark, d)
+    meta = read_meta(d)
+    assert meta.next_docid > meta.n_docs  # allocator ahead of live count
+    fresh = corpus200.limit(30).withColumn(
+        "repo", F.concat(F.lit("new/"), F.col("repo")))
+    append_segment(fresh, d, epoch_id=3)
+    stats = spark.read.parquet(f"{d}/docstats")
+    assert stats.count() == stats.select("docID").distinct().count()
+    eng = LireQueryEngine(spark, d, pin_blocks=False)
+    assert eng.search(text="read file", rows=5).count() == 5
+
+
+def test_partial_compaction_crash_rolls_back(spark, tiered, monkeypatch):
+    """Crash BEFORE the delete phase (old artifacts intact): read_meta must
+    refuse the ambiguous index; repair rolls back to the pre-merge state."""
+    import liresolr_spark.plans.compact as pc
+    from liresolr_spark.plans.compact import repair_segment_compaction
+
+    d, _, _, compact_segments = tiered
+    before = _hits_keyed(spark, d, QUERY)
+
+    real_rmtree = pc.shutil.rmtree
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash in delete phase")
+    monkeypatch.setattr(pc.shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_segments(spark, d)
+    monkeypatch.setattr(pc.shutil, "rmtree", real_rmtree)
+
+    with pytest.raises(RuntimeError, match="unfinished partial compaction"):
+        read_meta(d)
+    assert repair_segment_compaction(d) == "rolled_back"
+    assert _hits_keyed(spark, d, QUERY) == before
+
+
+def test_partial_compaction_crash_rolls_forward(spark, tiered, tmp_path,
+                                                monkeypatch):
+    """Crash AFTER the delete phase but before the meta commit: repair must
+    finish the merge (commit the marker's meta) and results must equal a
+    completed merge's."""
+    import liresolr_spark.plans.compact as pc
+    from liresolr_spark.plans.compact import repair_segment_compaction
+
+    d, _, expect, compact_segments = tiered
+
+    real_write_meta = pc.write_meta
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at commit")
+    monkeypatch.setattr(pc, "write_meta", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_segments(spark, d)
+    monkeypatch.setattr(pc, "write_meta", real_write_meta)
+
+    assert repair_segment_compaction(d) == "rolled_forward"
+    ref = str(tmp_path / "fwd_ref")
+    build_index(expect, ref, num_shards=4, block_size=64)
+    assert _hits_keyed(spark, d, QUERY) == _hits_keyed(spark, ref, QUERY)
