@@ -179,3 +179,45 @@ def test_deny_tombstones_excluded(spark, indexed, vocab):
            for r in wand_topk(spark, indexed, q, k=10,
                               deny_docids=deny).collect()]
     assert got == want
+
+
+def test_merge_strategies_rank_identical(spark, indexed, vocab):
+    """The batched final merge (_merge_topk_per_qid) has three physical
+    strategies (window / agg / kernel). All must return the IDENTICAL
+    per-qid top-k under (score desc, docID asc) — including ties, k larger
+    than the candidate pool, and single-candidate qids."""
+    from liresolr_spark.operators.wand import wand_topk_many
+
+    hot = [t for t, _ in vocab[:6]]
+    rare = [t for t, df in vocab if df <= 3][:6] or [t for t, _ in vocab[-6:]]
+    queries = {
+        "qa": [hot[0], hot[1], hot[2]],
+        "qb": [rare[0]],                      # tiny candidate pool
+        "qc": [hot[0], rare[1], hot[3]],
+        "qd": [hot[4], hot[4], hot[5]],       # repeated term
+        "qe": ["zz_out_of_vocab_zz", hot[2]],
+    }
+    import os
+
+    results = {}
+    for strat in ("window", "agg", "kernel"):
+        os.environ["LIRESOLR_MERGE_STRATEGY"] = strat
+        try:
+            df = wand_topk_many(spark, indexed, queries, k=15)
+            rows = df.collect()
+        finally:
+            os.environ.pop("LIRESOLR_MERGE_STRATEGY", None)
+        by_qid = {}
+        for r in rows:
+            by_qid.setdefault(r["qid"], []).append(
+                (r["docID"], round(r["score"], 9)))
+        for qid in by_qid:
+            by_qid[qid].sort(key=lambda t: (-t[1], t[0]))
+        results[strat] = by_qid
+    assert results["agg"] == results["window"], "agg != window"
+    assert results["kernel"] == results["window"], "kernel != window"
+    # and the merge is exact vs the single-query reference path
+    for qid, terms in queries.items():
+        want = [(r["docID"], round(r["score"], 9))
+                for r in wand_topk(spark, indexed, terms, k=15).collect()]
+        assert results["window"].get(qid, []) == want, qid
