@@ -159,6 +159,20 @@ def main() -> None:
     eng.search(text=qbase[3], fq=fq, rows=10).collect()
     extras["fq_repeat_sec"] = round(time.time() - t0, 3)
 
+    # persisted filter artifact (the warmed filterCache tier): a FRESH
+    # engine resolving the same fq through the artifact — no docstats scan
+    # even on its first call (compare fq_artifact_first_sec vs fq_first_sec)
+    from liresolr_spark.plans.filters import build_filter_artifact
+
+    t0 = time.time()
+    build_filter_artifact(spark, idx, "bench-lang", fq)
+    timings["filter_artifact_build"] = round(time.time() - t0, 3)
+    eng2 = LireQueryEngine(spark, idx, pin_blocks=False)
+    eng2.search(text=qbase[0], rows=5).collect()  # warm non-fq path only
+    t0 = time.time()
+    eng2.search(text=qbase[4], fq=fq, rows=10).collect()
+    extras["fq_artifact_first_sec"] = round(time.time() - t0, 3)
+
     # ---- registry queries (oracle-checked workload) --------------------------
     bench_set = [
         "q01_bm25_topk", "q03_bm25_hot_terms", "q04_overlap_candidates",

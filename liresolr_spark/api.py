@@ -76,7 +76,9 @@ class LireQueryEngine:
             "numRequests": 0, "numErrors": 0, "totalTime_ms": 0.0}
         from collections import OrderedDict
 
-        self._fq_cache: OrderedDict[str, DataFrame] = OrderedDict()
+        # fq -> (allow, deny) pair; exactly one side non-None (see _fq_allow)
+        self._fq_cache: OrderedDict[
+            str, tuple[DataFrame | None, DataFrame | None]] = OrderedDict()
         self._open()
 
     def _open(self) -> None:
@@ -102,6 +104,16 @@ class LireQueryEngine:
             self._deny = tombs.select("shard", "docID").distinct().cache()
         else:
             self._deny = None
+        # persisted filter artifacts (plans/filters.py — the warmed tier
+        # under the in-memory fq cache): FRESH manifests indexed by
+        # predicate string for transparent use by _fq_allow. Stale ones
+        # (index mutated since build) are ignored, never served.
+        from liresolr_spark.plans.filters import load_filter_manifests
+
+        self._filter_by_predicate = {
+            m["predicate"]: m
+            for m in load_filter_manifests(self.index_dir).values()
+            if m["fresh"]}
         self._dictionary = self.spark.read.parquet(
             f"{self.index_dir}/dictionary").cache()
         merged = self._dictionary.groupBy("field", "term").agg(
@@ -124,8 +136,10 @@ class LireQueryEngine:
         idf and the block listing agree with the new commit. A live engine
         that skips this serves the PREVIOUS snapshot consistently — caches
         are never half-refreshed."""
-        for allow in self._fq_cache.values():
-            allow.unpersist()
+        for pair in self._fq_cache.values():
+            for df in pair:
+                if df is not None:
+                    df.unpersist()
         self._fq_cache.clear()
         self._dictionary.unpersist()
         if self._deny is not None:
@@ -135,12 +149,39 @@ class LireQueryEngine:
             self._docstats_df.unpersist()
         self._open()
 
-    def _wand(self, terms, k, field="text", allow_docids=None):
+    def reload_filters(self) -> int:
+        """Re-scan persisted filter artifacts (plans/filters.py) without a
+        full searcher reopen — manifests are tiny driver-side file reads,
+        and the index itself is unchanged (artifact freshness is pinned to
+        meta.json, which a filter build never touches). Drops the fq cache
+        so predicates newly backed by an artifact re-resolve through it.
+        Returns the number of FRESH artifacts now visible."""
+        from liresolr_spark.plans.filters import load_filter_manifests
+
+        for pair in self._fq_cache.values():
+            for df in pair:
+                if df is not None:
+                    df.unpersist()
+        self._fq_cache.clear()
+        self._filter_by_predicate = {
+            m["predicate"]: m
+            for m in load_filter_manifests(self.index_dir).values()
+            if m["fresh"]}
+        return len(self._filter_by_predicate)
+
+    def _wand(self, terms, k, field="text", allow_docids=None,
+              extra_deny=None):
+        deny = self._deny
+        if extra_deny is not None:
+            # deny-mode filter artifact: its complement rows join the
+            # tombstone deny-list (kernel gives deny precedence)
+            deny = (extra_deny if deny is None
+                    else deny.unionByName(extra_deny).distinct())
         return wand_topk(
             self.spark, self.index_dir, terms, k=k, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
             dictionary_map=self._dict_map, meta=self.meta,
-            allow_docids=allow_docids, deny_docids=self._deny)
+            allow_docids=allow_docids, deny_docids=deny)
 
     # -- internals ----------------------------------------------------------
 
@@ -150,27 +191,42 @@ class LireQueryEngine:
         return self._docstats_df.join(
             self._deny.select("docID"), "docID", "left_anti")
 
-    def _fq_allow(self, fq: str) -> DataFrame:
-        """Allow-list (shard, docID) DataFrame for an fq, cached per fq
-        string — the CachingWrapperFilter analog (Solr computes a filter
-        query's bitset once per searcher and reuses it,
+    def _fq_allow(self, fq: str) -> tuple[DataFrame | None, DataFrame | None]:
+        """(allow, deny) docID restriction for an fq, cached per fq string —
+        the CachingWrapperFilter analog (Solr computes a filter query's
+        bitset once per searcher and reuses it,
         ref: LireRequestHandler.java:547). Without this, every repeated-fq
         search re-scanned the corpus-sized docstats table (the common
         dashboard pattern: same filter, many queries). LRU-bounded at
         FQ_CACHE_SIZE; `refresh()` drops the whole cache, since a new
         segment changes every allow-list (the searcher-reopen analog —
-        Solr's filterCache is likewise per-searcher)."""
+        Solr's filterCache is likewise per-searcher).
+
+        Resolution order, exactly Solr's warming tiers:
+        1. in-memory cache hit (this searcher already computed it);
+        2. a FRESH persisted artifact whose predicate string matches
+           (plans/filters.py): a pruned parquet read, no corpus scan —
+           allow-mode fills the allow side, deny-mode the deny side;
+        3. compute from docstats (and cache).
+        Exactly one side of the returned tuple is non-None."""
         cached = self._fq_cache.get(fq)
         if cached is not None:
             self._fq_cache.move_to_end(fq)
             return cached
-        allow = (self._docstats().filter(F.expr(fq))
-                 .select("shard", "docID").cache())
-        self._fq_cache[fq] = allow
+        art = self._filter_by_predicate.get(fq)
+        if art is not None:
+            side = self.spark.read.parquet(art["data_path"]).cache()
+            pair = (side, None) if art["mode"] == "allow" else (None, side)
+        else:
+            pair = (self._docstats().filter(F.expr(fq))
+                    .select("shard", "docID").cache(), None)
+        self._fq_cache[fq] = pair
         if len(self._fq_cache) > self.FQ_CACHE_SIZE:
             _, evicted = self._fq_cache.popitem(last=False)
-            evicted.unpersist()
-        return allow
+            for df in evicted:
+                if df is not None:
+                    df.unpersist()
+        return pair
 
     def _field_present(self, field: str) -> bool:
         """True iff the index carries any terms for `field` (e.g. an index
@@ -280,8 +336,9 @@ class LireQueryEngine:
         # allow-list is proportional to fq selectivity; Lucene's analog is
         # the filter bitset ANDed into the collector. Cached per fq string
         # (see _fq_allow), so repeated filters skip the docstats scan.
-        allow = self._fq_allow(fq) if fq else None
-        hits = self._wand(terms, k=pool, field=field, allow_docids=allow)
+        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        hits = self._wand(terms, k=pool, field=field, allow_docids=allow,
+                          extra_deny=fq_deny)
         out = self._project(self._paginate(hits, start, rows))
         if fl_expr is not None:
             out = out.withColumn("fval", F.expr(fl_expr))

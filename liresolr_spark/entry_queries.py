@@ -1640,6 +1640,37 @@ def q16(spark, sf_dir):
     return _hits_to_doc_ids(spark, idx, hits)
 
 
+@_reg("q17_filter_artifact", _bm25_sql(FQ_QUERY, K_DEFAULT,
+                                       fq_where="d.lang = 'en'"))
+def q17(spark, sf_dir):
+    """fq served from a PERSISTED filter artifact (plans/filters.py — the
+    warmed tier of Solr's filterCache, ref: LireRequestHandler.java:547 and
+    firstSearcher warming): the predicate's docID set is materialized once
+    as a parquet artifact under the index, and the served engine resolves
+    the fq through it — a pruned artifact read instead of a docstats scan.
+    The artifact stores the SMALLER predicate side ('en' is 218/500 docs
+    at sf0.01, so this resolves to allow mode; the deny/complement mode is
+    pytest-gated in tests/test_filters.py). Held to the SAME DuckDB oracle
+    as the scan-based q16/q02 — artifact serving must be
+    result-invisible."""
+    from liresolr_spark.plans.filters import (
+        build_filter_artifact, load_filter_manifests)
+
+    idx = _entry_index(spark, sf_dir)
+    fq = "lang = 'en'"
+    m = load_filter_manifests(idx).get("lang-en")
+    if m is None or not m["fresh"] or m["predicate"] != fq:
+        build_filter_artifact(spark, idx, "lang-en", fq)
+    eng = _entry_engine(spark, sf_dir)
+    eng.reload_filters()
+    out = eng.search(text=FQ_QUERY, fq=fq, rows=K_DEFAULT)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 @_reg("w02_hash_topk_index", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT, hashed=True))
 def w02(spark, sf_dir):
     """Hash-token retrieval THROUGH the persisted index (SURVEY §2.9): the
