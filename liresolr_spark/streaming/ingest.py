@@ -271,6 +271,34 @@ def append_segment(
             "n_docs": new_n, "avgdl": new_avgdl, "tombstoned_docs": n_tombs}
 
 
+def maintain_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_appended_segments: int = 8,
+    max_segment_docs: int | None = None,
+) -> dict | None:
+    """Background-merge policy trigger (the TieredMergePolicy maintenance
+    loop Lucene runs behind commitWithin, ref: scripts/add_histograms.py:40):
+    when the number of APPENDED segments reaches `max_appended_segments`,
+    merge the small ones via `plans.compact.compact_segments` (O(merged),
+    base segment untouched). Below the threshold: no-op, returns None.
+
+    Why a count policy: every appended segment adds dictionary/tombstone
+    fragments that each query's planning must union — unbounded appends
+    degrade read amplification linearly. Bounding the segment count keeps
+    the serving engine's per-query planning cost flat while never paying
+    the O(index) full rewrite (`compact_index`) on the hot path.
+    `max_segment_docs` optionally restricts merging to segments at most
+    that large (the tiered size gate); None merges every appended one."""
+    from liresolr_spark.plans.compact import _segments, compact_segments
+
+    appended = [s for s in _segments(spark, index_dir) if s[0] != 0]
+    if len(appended) < max_appended_segments:
+        return None
+    return compact_segments(spark, index_dir,
+                            max_segment_docs=max_segment_docs)
+
+
 def incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -279,11 +307,21 @@ def incremental_index(
     available_now: bool = True,
     num_shards: int = 8,
     block_size: int = 128,
+    maintain_after_segments: int | None = None,
 ):
     """Stream corpus parquet files into the index (file source -> foreachBatch
     segment append). With available_now=True the query drains all unread
     files and terminates — the batch-refresh cadence of the reference's
-    commitWithin; pass False for a continuous micro-batch ingest."""
+    commitWithin; pass False for a continuous micro-batch ingest.
+
+    maintain_after_segments: if set, run `maintain_index` after each
+    committed append — appended segments are merged whenever their count
+    reaches the threshold (Lucene's background merge during indexing), so
+    a long-running ingest keeps bounded read amplification without any
+    external maintenance job. Safe on retry: the merge is itself
+    crash-recoverable (compact_segments two-phase commit) and idempotence
+    of the append is unaffected (the epoch ledger gates re-appends, not
+    segment layout)."""
     from liresolr_spark.sources.corpus import CORPUS_SCHEMA
 
     stream = (
@@ -295,6 +333,9 @@ def incremental_index(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         append_segment(batch_df, index_dir, epoch_id=epoch_id,
                        num_shards=num_shards, block_size=block_size)
+        if maintain_after_segments is not None:
+            maintain_index(spark, index_dir,
+                           max_appended_segments=maintain_after_segments)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

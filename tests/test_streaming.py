@@ -168,3 +168,45 @@ def test_within_batch_overwrite_last_write_wins(spark, tmp_path):
     # the winning version is queryable; the loser's content never indexed
     hits = wand_topk(spark, idx, py_tokenize("delta"), k=5).collect()
     assert len(hits) == 1
+
+
+def test_maintain_index_bounds_segment_count(spark, tmp_path):
+    """Streaming ingest with maintain_after_segments: appended segments are
+    merged whenever their count reaches the policy, so a long-running
+    ingest keeps read amplification bounded — and ranking stays identical
+    to a from-scratch build of the same corpus."""
+    from liresolr_spark.plans.compact import _segments
+    from liresolr_spark.plans.build import build_index
+    from liresolr_spark.sources.corpus import synthetic_code_corpus
+    from liresolr_spark.streaming.ingest import maintain_index
+
+    corpus = (synthetic_code_corpus(spark, 240, seed=11, partitions=4)
+              .dropDuplicates(["repo", "path", "commit"]))
+    corpus.persist()
+    idx = str(tmp_path / "m_idx")
+    parts = [corpus.filter(F.abs(F.hash("repo", "path", "commit")) % 4 == i)
+             for i in range(4)]
+    stream_in = str(tmp_path / "m_in")
+    cp = str(tmp_path / "m_cp")
+    # maxFilesPerTrigger=16 and single-file writes make each part one batch
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(stream_in)
+        incremental_index(spark, stream_in, idx, cp, num_shards=4,
+                          block_size=64, maintain_after_segments=2)
+    appended = [s for s in _segments(spark, idx) if s[0] != 0]
+    assert len(appended) < 2 + 1, f"policy breached: {appended}"
+    assert read_meta(idx).n_docs == corpus.count()
+
+    # below threshold -> no-op
+    assert maintain_index(spark, idx, max_appended_segments=99) is None
+
+    # rank identity vs a from-scratch build
+    ref = str(tmp_path / "m_ref")
+    build_index(corpus, ref, num_shards=4, block_size=64)
+    for q in QUERIES[:2]:
+        want = [(r["docID"] is not None, round(r["score"], 9))
+                for r in wand_topk(spark, ref, py_tokenize(q), k=15).collect()]
+        got = [(r["docID"] is not None, round(r["score"], 9))
+               for r in wand_topk(spark, idx, py_tokenize(q), k=15).collect()]
+        assert got == want, q
+    corpus.unpersist()
