@@ -343,25 +343,31 @@ def compact_segments(
     appended = [s for s in segs if s[0] != segs[0][0]]
 
     docstats = spark.read.parquet(p["docstats"])
-    # live docs per appended segment, aggregated from per-shard counts
-    per_seg: dict[int, int] = {}
-    for r in docstats.groupBy("shard").agg(F.count("*").alias("n")).collect():
-        for seg_lo, lo, hi in appended:
-            if lo <= int(r["shard"]) < hi:
-                per_seg[seg_lo] = per_seg.get(seg_lo, 0) + int(r["n"])
-
-    merge = [s for s in appended
-             if max_segment_docs is None or per_seg.get(s[0], 0) <= max_segment_docs]
+    if max_segment_docs is None:
+        merge = list(appended)  # ungated: skip the per-segment size job
+    else:
+        # live docs per appended segment, aggregated from per-shard counts
+        per_seg: dict[int, int] = {}
+        for r in docstats.groupBy("shard").agg(
+                F.count("*").alias("n")).collect():
+            for seg_lo, lo, hi in appended:
+                if lo <= int(r["shard"]) < hi:
+                    per_seg[seg_lo] = per_seg.get(seg_lo, 0) + int(r["n"])
+        merge = [s for s in appended
+                 if per_seg.get(s[0], 0) <= max_segment_docs]
     merge_shards = [sh for _, lo, hi in merge for sh in range(lo, hi)]
     merge_seg_ids = [s[0] for s in merge]
 
     tombs = load_tombstones(spark, index_dir)
-    n_drop_inside = 0
-    if tombs is not None:
-        n_drop_inside = tombs.filter(
-            F.col("shard").isin(merge_shards)).select("docID").distinct().count()
-    if len(merge) < min_segments and n_drop_inside == 0:
-        return {"merged_segments": 0, "reason": "nothing to merge"}
+    if len(merge) < min_segments:
+        # too few candidates: merge anyway only if tombstones inside them
+        # need physical application (the count job runs ONLY on this path)
+        n_drop_inside = 0
+        if tombs is not None:
+            n_drop_inside = (tombs.filter(F.col("shard").isin(merge_shards))
+                             .select("docID").distinct().count())
+        if n_drop_inside == 0:
+            return {"merged_segments": 0, "reason": "nothing to merge"}
 
     mstats = docstats.filter(F.col("shard").isin(merge_shards))
     drop = (tombs.filter(F.col("shard").isin(merge_shards))
@@ -380,22 +386,26 @@ def compact_segments(
     agg = ranked.agg(F.count("*").alias("n"), F.sum("doclen").alias("s"),
                      F.max("docID").alias("mx")).first()
     n_live, live_doclen = int(agg["n"]), float(agg["s"] or 0.0)
-    n_merged_total = int(mstats.count())
+    # ONE pass over the merged segments' stats for count + doclen (each
+    # extra action here is a whole fixed-cost Spark job — at the frequent-
+    # small-merge cadence this function exists for, job count IS the cost)
+    magg = mstats.agg(F.count("*").alias("n"),
+                      F.sum("doclen").alias("s")).first()
+    n_merged_total = int(magg["n"])
+    merged_doclen = float(magg["s"] or 0.0)
     n_dropped = n_merged_total - n_live
     new_shards = ((int(agg["mx"]) // meta.docs_per_shard + 1)
                   if n_live else 0)
+    new_total_doclen = meta.total_doclen - (merged_doclen - live_doclen)
 
     new_meta = IndexMeta(
         n_docs=meta.n_docs - n_dropped,
-        avgdl=((meta.total_doclen - (
-            float(mstats.agg(F.sum("doclen")).first()[0] or 0.0) - live_doclen))
-            / max(meta.n_docs - n_dropped, 1)),
+        avgdl=new_total_doclen / max(meta.n_docs - n_dropped, 1),
         num_shards=new_base + new_shards,
         docs_per_shard=meta.docs_per_shard, block_size=meta.block_size,
         hash_version=meta.hash_version, k1=meta.k1, b=meta.b,
         format_version=meta.format_version,
-        total_doclen=meta.total_doclen - (
-            float(mstats.agg(F.sum("doclen")).first()[0] or 0.0) - live_doclen),
+        total_doclen=new_total_doclen,
         next_docid=(meta.next_docid if meta.next_docid is not None
                     else meta.n_docs),
         applied_epochs=meta.applied_epochs,
@@ -443,8 +453,10 @@ def compact_segments(
     (blocks.sortWithinPartitions("field", "term", "block_seq")
      .write.partitionBy("shard").mode("append").parquet(p["blocks"]))
 
+    # the fresh segment's blocks feed BOTH the manifest and the dictionary
+    # fragment: persist across the two scans (tiny — just-written segment)
     seg_blocks = spark.read.parquet(p["blocks"]).filter(
-        F.col("shard") >= new_base)
+        F.col("shard") >= new_base).persist()
     (seg_blocks.groupBy("shard").agg(
         F.min("term").alias("term_lo"), F.max("term").alias("term_hi"),
         F.sum(F.length("docids") + F.length("tfs")
@@ -457,6 +469,7 @@ def compact_segments(
      .agg(F.sum("count").alias("df"), F.max("max_tf_norm").alias("max_tf_norm"))
      .withColumn("seg", F.lit(new_base))
      .write.mode("append").partitionBy("seg").parquet(p["dictionary"]))
+    seg_blocks.unpersist()
 
     # tombstones recorded by merged segments but targeting docs we did NOT
     # rebuild (base / kept segments) must survive under the new seg dir
