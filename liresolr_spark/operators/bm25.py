@@ -248,8 +248,9 @@ def bm25_topk_from_index(
 
     meta = read_meta(index_dir)
     qdf = _query_terms_df(spark, query_terms)
-    terms = [r["term"] for r in qdf.collect()]
-    qtf = {r["term"]: r["qtf"] for r in qdf.collect()}
+    qrows = qdf.collect()  # one job: terms and qtf come from the same rows
+    terms = [r["term"] for r in qrows]
+    qtf = {r["term"]: r["qtf"] for r in qrows}
 
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     dstats = (
