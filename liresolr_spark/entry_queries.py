@@ -1793,6 +1793,62 @@ def s02(spark, sf_dir):
     return _hits_to_doc_ids(spark, idx, hits)
 
 
+@_reg("s04_partial_compact", _bm25_sql(FLAGSHIP_QUERY, K_DEFAULT))
+def s04(spark, sf_dir):
+    """TIERED partial compaction through the driver gate (round-4 feature,
+    round-3 verdict #6; ref: Lucene TieredMergePolicy behind commitWithin,
+    scripts/add_histograms.py:40 — merge candidate segments by size, never
+    the whole index): half the corpus is built as the base segment, the
+    rest arrives as three micro-batch appends — one of them STALE content
+    (flagship terms appended, so a retained stale copy provably distorts
+    df/tf/scores) immediately overwritten by the true content under the
+    same (repo, path) key. compact_segments then merges ONLY the appended
+    segments: epoch-1's tombstoned docs are dropped physically, survivors
+    keep their docIDs, the base segment's files are untouched, and
+    N/avgdl/df become exact. The merged index must answer the SAME BM25
+    oracle as a clean build of the full corpus (q01's SQL)."""
+    import hashlib as _h
+    import os as _os
+
+    from liresolr_spark import INDEX_FORMAT_VERSION
+    from liresolr_spark.functions.tokenizer import py_tokenize as _pt
+    from liresolr_spark.operators.wand import wand_topk
+    from liresolr_spark.plans.build import read_meta
+    from liresolr_spark.plans.compact import compact_segments
+    from liresolr_spark.ship import ship_package
+    from liresolr_spark.streaming.ingest import append_segment
+
+    ship_package(spark)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/liresolr_entry_partial_{tag}"
+    try:
+        stale_marker = (not _os.path.exists(f"{idx}/meta.json")
+                        or read_meta(idx).format_version
+                        != INDEX_FORMAT_VERSION)
+    except RuntimeError:  # torn partial compaction from a killed run
+        stale_marker = True
+    if stale_marker:
+        import shutil as _sh
+
+        _sh.rmtree(idx, ignore_errors=True)
+        corpus = _docs_as_corpus(_docs(spark, sf_dir))
+        did = F.col("path").cast("long")
+        seg1 = corpus.filter(did % 4 == 1)
+        stale = seg1.withColumn(
+            "content",
+            F.concat(F.col("content"),
+                     F.lit(f"\n{FLAGSHIP_QUERY} {FLAGSHIP_QUERY}")),
+        ).withColumn("commit", F.md5("content"))
+        append_segment(corpus.filter(did % 2 == 0), idx, epoch_id=0,
+                       num_shards=4, block_size=128)
+        append_segment(stale, idx, epoch_id=1)
+        append_segment(seg1, idx, epoch_id=2)  # overwrite: tombstones ep 1
+        append_segment(corpus.filter(did % 4 == 3), idx, epoch_id=3)
+        compact_segments(spark, idx)
+    hits = wand_topk(spark, idx, _pt(FLAGSHIP_QUERY), k=K_DEFAULT)
+    return _hits_to_doc_ids(spark, idx, hits)
+
+
 @_reg(
     "s03_user_sessions",
     """

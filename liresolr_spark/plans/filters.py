@@ -150,6 +150,26 @@ def read_filter_artifact(spark: SparkSession, index_dir: str,
     return spark.read.parquet(m["data_path"]), m
 
 
+def refresh_filter_artifacts(spark: SparkSession, index_dir: str,
+                             names: list[str] | None = None) -> dict:
+    """Rebuild every STALE artifact (or the named subset) against the
+    current index state — the `newSearcher` warming hook: run it after
+    build / append_segment / compaction so known filters are warm before
+    the reopened searcher serves traffic. Fresh artifacts are skipped
+    (their fingerprint already matches). Returns
+    {name: "fresh" | "rebuilt"}."""
+    out: dict[str, str] = {}
+    for name, m in load_filter_manifests(index_dir).items():
+        if names is not None and name not in names:
+            continue
+        if m["fresh"]:
+            out[name] = "fresh"
+            continue
+        build_filter_artifact(spark, index_dir, name, m["predicate"])
+        out[name] = "rebuilt"
+    return out
+
+
 def drop_filter_artifact(index_dir: str, name: str) -> bool:
     """Remove an artifact (e.g. after its predicate column changed
     meaning). True if it existed."""

@@ -137,6 +137,39 @@ def test_artifact_predates_tombstones_still_excludes_them(
     assert victim["docID"] not in got_ids
 
 
+def test_refresh_rebuilds_only_stale(spark, corpus200, tmp_path_factory):
+    """refresh_filter_artifacts is the newSearcher warming hook: after an
+    index mutation it rebuilds exactly the stale artifacts (skipping fresh
+    ones) and the rebuilt artifact covers the NEW segment's docs."""
+    from liresolr_spark.plans.filters import refresh_filter_artifacts
+    from liresolr_spark.streaming.ingest import append_segment
+
+    d = str(tmp_path_factory.mktemp("filters_refresh"))
+    build_index(corpus200, d, num_shards=4, block_size=64)
+    build_filter_artifact(spark, d, "pyflt", "lang = 'python'")
+    extra = synthetic_code_corpus(spark, 40, seed=99).withColumn(
+        "repo", F.concat(F.lit("extra/"), F.col("repo")))
+    append_segment(extra, d, epoch_id=1)
+    build_filter_artifact(spark, d, "goflt", "lang = 'go'")  # fresh already
+    assert not load_filter_manifests(d)["pyflt"]["fresh"]
+
+    assert refresh_filter_artifacts(spark, d) == {
+        "goflt": "fresh", "pyflt": "rebuilt"}
+    ms = load_filter_manifests(d)
+    assert ms["pyflt"]["fresh"] and ms["goflt"]["fresh"]
+    # the rebuilt allow side now includes new-segment python docs
+    side, m = read_filter_artifact(spark, d, "pyflt")
+    stats = spark.read.parquet(f"{d}/docstats")
+    n_py = stats.filter(F.col("lang") == "python").count()
+    assert m["n_matched"] == n_py
+    # named subset restricts the scope
+    append_segment(extra.withColumn(
+        "repo", F.concat(F.lit("x2/"), F.col("repo"))), d, epoch_id=2)
+    assert refresh_filter_artifacts(spark, d, names=["goflt"]) == {
+        "goflt": "rebuilt"}
+    assert not load_filter_manifests(d)["pyflt"]["fresh"]
+
+
 def test_atomic_commit_and_drop(spark, idx):
     root = f"{idx}/filters"
     # a leftover .tmp dir (crashed build) is invisible to manifests
