@@ -129,13 +129,23 @@ class LireQueryEngine:
         else:
             self._dict_map = None  # too big to pin: per-query cluster lookup
 
-    def refresh(self) -> None:
+    def refresh(self, rebuild_filters: bool = False) -> None:
         """Reopen the index after a committed segment append (the Solr
         searcher-reopen analog): re-reads meta (n_docs/avgdl/num_shards),
         drops the cached dictionary, and rebuilds every serving cache so df,
         idf and the block listing agree with the new commit. A live engine
         that skips this serves the PREVIOUS snapshot consistently — caches
-        are never half-refreshed."""
+        are never half-refreshed.
+
+        rebuild_filters=True additionally re-materializes every stale
+        persisted filter artifact against the new commit BEFORE the caches
+        rebuild (the Solr `newSearcher` warming listener): known filters
+        are then warm for the first request instead of falling back to the
+        docstats scan."""
+        if rebuild_filters:
+            from liresolr_spark.plans.filters import refresh_filter_artifacts
+
+            refresh_filter_artifacts(self.spark, self.index_dir)
         for pair in self._fq_cache.values():
             for df in pair:
                 if df is not None:

@@ -169,6 +169,18 @@ def test_refresh_rebuilds_only_stale(spark, corpus200, tmp_path_factory):
         "goflt": "rebuilt"}
     assert not load_filter_manifests(d)["pyflt"]["fresh"]
 
+    # engine-level warming: refresh(rebuild_filters=True) re-materializes
+    # the stale artifact before the caches rebuild, so the reopened engine
+    # serves the fq through the artifact (no docstats scan) immediately
+    eng = LireQueryEngine(spark, d, pin_blocks=False)
+    assert "lang = 'python'" not in eng._filter_by_predicate  # stale: unusable
+    eng.refresh(rebuild_filters=True)
+    assert load_filter_manifests(d)["pyflt"]["fresh"]
+    assert "lang = 'python'" in eng._filter_by_predicate
+    rows = eng.search(text="readFile bufPack", fq="lang = 'python'",
+                      rows=20).collect()
+    assert rows and all(r["lang"] == "python" for r in rows)
+
 
 def test_atomic_commit_and_drop(spark, idx):
     root = f"{idx}/filters"
