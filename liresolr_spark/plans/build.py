@@ -134,11 +134,24 @@ def read_meta(index_dir: str) -> IndexMeta:
     segments_N-style visibility gate Lucene gets from its commit file)."""
     p = _paths(index_dir)
     if os.path.exists(p["segmarker"]):
+        pid = None
+        try:
+            with open(p["segmarker"]) as mf:
+                pid = json.load(mf).get("pid")
+        except (OSError, ValueError):
+            pass
+        # own pid = the marker is from THIS process's crashed (synchronous)
+        # run, not a concurrent live one
+        live = (pid is not None and pid != os.getpid()
+                and os.path.exists(f"/proc/{pid}"))
         raise RuntimeError(
-            f"index {index_dir} has an unfinished partial compaction "
-            "(compact_segments.json present); run "
-            "liresolr_spark.plans.compact.repair_segment_compaction() "
-            "to roll it forward or back")
+            f"index {index_dir} has an "
+            + (f"IN-PROGRESS partial compaction (pid {pid} is alive); "
+               "wait for it to commit"
+               if live else
+               "unfinished partial compaction (compact_segments.json "
+               "present); run liresolr_spark.plans.compact."
+               "repair_segment_compaction() to roll it forward or back"))
     with open(p["meta"]) as f:
         return IndexMeta(**json.load(f))
 

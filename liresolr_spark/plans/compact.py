@@ -412,12 +412,25 @@ def compact_segments(
     )
 
     # ---- phase 1: marker with the full recovery payload -------------------
+    # old_dirs_present records which old artifact dirs EXIST at start: an
+    # old dir that legitimately never existed (e.g. a merged shard whose
+    # docs are all empty-content writes no blocks/shard=K) must not make a
+    # pre-delete crash look like "delete phase begun" to repair. pid lets
+    # repair refuse to touch a merge that is still running.
+    old_rel = (
+        [f"docstats/shard={s}" for s in merge_shards]
+        + [f"blocks/shard={s}" for s in merge_shards]
+        + [f"dictionary/seg={s}" for s in merge_seg_ids])
     marker = {
         "new_seg": new_base,
         "new_shards": list(range(new_base, new_base + new_shards)),
         "merged_shards": merge_shards,
         "merged_seg_ids": merge_seg_ids,
         "new_meta": {k: v for k, v in new_meta.__dict__.items()},
+        "old_dirs_present": [
+            d for d in old_rel
+            if os.path.exists(os.path.join(index_dir, d))],
+        "pid": os.getpid(),
     }
     tmp = p["segmarker"] + ".tmp"
     with open(tmp, "w") as f:
@@ -508,29 +521,49 @@ def compact_segments(
     }
 
 
-def repair_segment_compaction(index_dir: str) -> str:
+def repair_segment_compaction(index_dir: str, force: bool = False) -> str:
     """Resolve a crashed compact_segments run (marker present).
 
-    If every old merged artifact still exists, the merge had not reached
-    its delete phase: ROLL BACK by removing the new segment's dirs. If any
-    old artifact is already gone, the merge was past the point of no
-    return: ROLL FORWARD by removing the remaining old dirs and committing
-    the meta payload stored in the marker. Either way the marker is
-    cleared and the index is consistent. Returns 'rolled_back' or
-    'rolled_forward'."""
+    If every old merged artifact recorded as present at merge start still
+    exists, the merge had not reached its delete phase: ROLL BACK by
+    removing the new segment's dirs. If any is already gone, the merge was
+    past the point of no return: ROLL FORWARD by removing the remaining
+    old dirs and committing the meta payload stored in the marker. Either
+    way the marker is cleared and the index is consistent. Returns
+    'rolled_back' or 'rolled_forward'.
+
+    Refuses (RuntimeError) while the process that wrote the marker is
+    still alive on this host — a marker under a LIVE compact_segments is
+    an in-progress merge, not a crash, and repairing underneath it would
+    corrupt the index. `force=True` overrides (e.g. the pid was recycled
+    by an unrelated process after a host reboot)."""
     import json
 
     p = _paths(index_dir)
     with open(p["segmarker"]) as f:
         marker = json.load(f)
 
+    pid = marker.get("pid")
+    if (not force and pid is not None and pid != os.getpid()
+            and os.path.exists(f"/proc/{pid}")):
+        raise RuntimeError(
+            f"compact_segments (pid {pid}) appears to still be running on "
+            f"this host; the marker marks an IN-PROGRESS merge, not a "
+            "crash. Wait for it, or pass force=True if the pid is stale")
+
     def _dirs(key, prefix, ids):
         return [os.path.join(p[key], f"{prefix}{i}") for i in ids]
 
-    old_dirs = (
-        _dirs("docstats", "shard=", marker["merged_shards"])
-        + _dirs("blocks", "shard=", marker["merged_shards"])
-        + _dirs("dictionary", "seg=", marker["merged_seg_ids"]))
+    # markers from before old_dirs_present fall back to the full expected
+    # list (the old, stricter behavior)
+    if "old_dirs_present" in marker:
+        old_dirs = [os.path.join(index_dir, d)
+                    for d in marker["old_dirs_present"]]
+    else:
+        old_dirs = (
+            _dirs("docstats", "shard=", marker["merged_shards"])
+            + _dirs("blocks", "shard=", marker["merged_shards"])
+            + _dirs("dictionary", "seg=", marker["merged_seg_ids"]))
     new_dirs = (
         _dirs("docstats", "shard=", marker["new_shards"])
         + _dirs("blocks", "shard=", marker["new_shards"])

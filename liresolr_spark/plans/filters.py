@@ -80,6 +80,13 @@ def build_filter_artifact(
     to neither side. Returns the manifest dict."""
     if not _NAME_RE.match(name):
         raise ValueError(f"artifact name must match {_NAME_RE.pattern}: {name!r}")
+    # the fingerprint is captured BEFORE the first docstats scan and
+    # re-verified after the data write: an index commit landing mid-build
+    # would otherwise stamp the artifact fresh against a commit its data
+    # does not reflect — silently-served-stale, the one failure mode this
+    # module exists to prevent. On a race the build fails stale-safe (no
+    # artifact is committed; the caller rebuilds against the new commit).
+    fp = meta_fingerprint(index_dir)
     docstats = spark.read.parquet(f"{index_dir}/docstats")
     matched = docstats.filter(F.expr(predicate)).select("shard", "docID")
     n_total = docstats.count()
@@ -97,11 +104,16 @@ def build_filter_artifact(
     # runs delta-encode well under parquet and read back cache-friendly
     side.repartition("shard").sortWithinPartitions("shard", "docID") \
         .write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+    if meta_fingerprint(index_dir) != fp:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"index {index_dir} was committed while filter artifact "
+            f"{name!r} was building; rebuild against the new commit")
     manifest = {
         "name": name,
         "predicate": predicate,
         "mode": mode,
-        "fingerprint": meta_fingerprint(index_dir),
+        "fingerprint": fp,
         "n_total": n_total,
         "n_matched": n_matched,
         "rows_stored": n_matched if mode == "allow" else n_total - n_matched,

@@ -276,6 +276,7 @@ def maintain_index(
     index_dir: str,
     max_appended_segments: int = 8,
     max_segment_docs: int | None = None,
+    tier_factor: int = 8,
 ) -> dict | None:
     """Background-merge policy trigger (the TieredMergePolicy maintenance
     loop Lucene runs behind commitWithin, ref: scripts/add_histograms.py:40):
@@ -288,13 +289,33 @@ def maintain_index(
     degrade read amplification linearly. Bounding the segment count keeps
     the serving engine's per-query planning cost flat while never paying
     the O(index) full rewrite (`compact_index`) on the hot path.
-    `max_segment_docs` optionally restricts merging to segments at most
-    that large (the tiered size gate); None merges every appended one."""
+
+    Why a size tier and not merge-everything: the output of a previous
+    merge is itself an appended segment; remerging it on every trigger
+    would rewrite the whole appended history each time — O(N²) total
+    write cost over a long-running ingest. `max_segment_docs` gates
+    merging to segments at most that large; the default (None) derives
+    the gate adaptively as `tier_factor × median(live docs per appended
+    segment)`: fresh micro-batch segments dominate the median, so an
+    accumulated merged segment retires from merging once it outgrows its
+    tier, and same-tier merged segments still coalesce into the next tier
+    when enough accumulate — Lucene's logarithmic merge ladder."""
     from liresolr_spark.plans.compact import _segments, compact_segments
 
     appended = [s for s in _segments(spark, index_dir) if s[0] != 0]
     if len(appended) < max_appended_segments:
         return None
+    if max_segment_docs is None:
+        # live docs per appended segment: one O(#shards)-row agg
+        per_shard = {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(f"{index_dir}/docstats")
+            .groupBy("shard").agg(F.count("*").alias("n")).collect()}
+        sizes = sorted(
+            sum(per_shard.get(sh, 0) for sh in range(lo, hi))
+            for _, lo, hi in appended)
+        median = sizes[len(sizes) // 2]
+        max_segment_docs = max(1, tier_factor * median)
     return compact_segments(spark, index_dir,
                             max_segment_docs=max_segment_docs)
 
@@ -308,6 +329,7 @@ def incremental_index(
     num_shards: int = 8,
     block_size: int = 128,
     maintain_after_segments: int | None = None,
+    maintain_max_segment_docs: int | None = None,
 ):
     """Stream corpus parquet files into the index (file source -> foreachBatch
     segment append). With available_now=True the query drains all unread
@@ -335,7 +357,8 @@ def incremental_index(
                        num_shards=num_shards, block_size=block_size)
         if maintain_after_segments is not None:
             maintain_index(spark, index_dir,
-                           max_appended_segments=maintain_after_segments)
+                           max_appended_segments=maintain_after_segments,
+                           max_segment_docs=maintain_max_segment_docs)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

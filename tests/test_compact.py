@@ -231,6 +231,25 @@ def test_partial_compaction_crash_rolls_back(spark, tiered, monkeypatch):
 
     with pytest.raises(RuntimeError, match="unfinished partial compaction"):
         read_meta(d)
+
+    # a marker written by a LIVE foreign process marks an in-progress
+    # merge, not a crash: read_meta says so, repair refuses without force
+    import json as _json
+    mpath = os.path.join(d, "compact_segments.json")
+    with open(mpath) as f:
+        marker = _json.load(f)
+    own_pid = marker["pid"]
+    marker["pid"] = 1  # init: always alive, never us
+    with open(mpath, "w") as f:
+        _json.dump(marker, f)
+    with pytest.raises(RuntimeError, match="IN-PROGRESS"):
+        read_meta(d)
+    with pytest.raises(RuntimeError, match="still be running"):
+        repair_segment_compaction(d)
+    marker["pid"] = own_pid
+    with open(mpath, "w") as f:
+        _json.dump(marker, f)
+
     assert repair_segment_compaction(d) == "rolled_back"
     assert _hits_keyed(spark, d, QUERY) == before
 

@@ -201,6 +201,30 @@ def test_atomic_commit_and_drop(spark, idx):
         read_filter_artifact(spark, idx, "minority")
 
 
+def test_concurrent_commit_fails_stale_safe(spark, idx, monkeypatch):
+    """An index commit landing between the artifact's docstats scan and its
+    manifest write must NOT produce an artifact stamped fresh against the
+    new commit (silently-served-stale): the build re-verifies the
+    fingerprint after the data write and fails without committing."""
+    import liresolr_spark.plans.filters as pf
+
+    real = pf.meta_fingerprint
+    calls = {"n": 0}
+
+    def racing(index_dir):
+        calls["n"] += 1
+        # second call = the post-write re-check: simulate a commit landing
+        # mid-build by returning a different fingerprint
+        return real(index_dir) if calls["n"] == 1 else "f" * 32
+
+    monkeypatch.setattr(pf, "meta_fingerprint", racing)
+    with pytest.raises(RuntimeError, match="committed while"):
+        build_filter_artifact(spark, idx, "racy", "lang = 'python'")
+    monkeypatch.setattr(pf, "meta_fingerprint", real)
+    assert "racy" not in load_filter_manifests(idx)  # nothing committed
+    assert not os.path.isdir(f"{idx}/filters/racy.tmp")  # staging cleaned
+
+
 def test_bad_name_rejected(spark, idx):
     with pytest.raises(ValueError):
         build_filter_artifact(spark, idx, "Bad Name!", "lang = 'python'")

@@ -170,6 +170,40 @@ def test_within_batch_overwrite_last_write_wins(spark, tmp_path):
     assert len(hits) == 1
 
 
+def test_maintain_index_tier_gate_retires_big_segment(spark, tmp_path):
+    """The adaptive size tier: a previously merged (big) appended segment
+    must NOT be re-merged on every trigger — only the small segments
+    coalesce, so long-running-ingest write amplification is logarithmic,
+    not quadratic (Lucene's merge ladder)."""
+    from liresolr_spark.plans.compact import _segments
+    from liresolr_spark.sources.corpus import synthetic_code_corpus
+    from liresolr_spark.streaming.ingest import maintain_index
+
+    corpus = (synthetic_code_corpus(spark, 180, seed=13)
+              .dropDuplicates(["repo", "path", "commit"]).persist())
+    n = corpus.count()
+    # deterministic split: big ~5/6 of the corpus (> tier_factor x median
+    # of the small segments => retired from merging), four smalls ~1/24
+    g = F.abs(F.hash("repo", "path", "commit")) % 24
+    big = corpus.filter(g < 20)
+    smalls = [corpus.filter(g == 20 + i) for i in range(4)]
+    idx = str(tmp_path / "tier_idx")
+    append_segment(smalls[0], idx, epoch_id=0, num_shards=4, block_size=64)
+    append_segment(big, idx, epoch_id=1)  # the accumulated merged segment
+    for i, s in enumerate(smalls[1:], start=2):
+        append_segment(s, idx, epoch_id=i)
+
+    before = {s[0] for s in _segments(spark, idx) if s[0] != 0}
+    big_seg = min(before)  # first append = lowest appended seg id
+    m = maintain_index(spark, idx, max_appended_segments=2)
+    assert m is not None and m["merged_segments"] == 3  # the 3 small ones
+    after = {s[0] for s in _segments(spark, idx) if s[0] != 0}
+    assert big_seg in after, "big segment was re-merged (quadratic hazard)"
+    assert len(after) == 2  # big + one fresh merged segment
+    assert read_meta(idx).n_docs == n
+    corpus.unpersist()
+
+
 def test_maintain_index_bounds_segment_count(spark, tmp_path):
     """Streaming ingest with maintain_after_segments: appended segments are
     merged whenever their count reaches the policy, so a long-running
