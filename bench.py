@@ -149,6 +149,25 @@ def main() -> None:
     eng.similar(qbase[1], rows=10).collect()
     timings["serving_similar"] = round(time.time() - t0, 3)
 
+    # prefix rewrite served from the pinned dictionary (expansion = zero
+    # Spark jobs; the scored pass is the ordinary WAND path)
+    t0 = time.time()
+    eng.prefix_search("re", rows=10).collect()
+    timings["serving_prefix"] = round(time.time() - t0, 3)
+
+    # exact phrase through the index: hot-term phrase = the worst case
+    # (the AND candidate set is nearly corpus-sized, so this measures the
+    # two-stage verify ceiling, not a cherry-picked rare phrase)
+    from liresolr_spark.operators.bm25 import materialize_and_release
+    from liresolr_spark.operators.phrase import phrase_topk
+
+    t0 = time.time()
+    ph_cache: list = []
+    materialize_and_release(
+        phrase_topk(spark, idx, corpus, "import return", k=60,
+                    cache_out=ph_cache), ph_cache)
+    timings["phrase_topk_hot"] = round(time.time() - t0, 3)
+
     # repeated-fq serving: second call reuses the cached allow-list
     # (CachingWrapperFilter analog) — extras record first vs repeat
     fq = "lang = 'python'"

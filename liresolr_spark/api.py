@@ -451,6 +451,56 @@ class LireQueryEngine:
         hits = hits.filter(F.col("docID") != doc_id)
         return self._project(self._paginate(hits, start, rows))
 
+    @_counted
+    def prefix_search(
+        self,
+        prefix: str,
+        start: int = 0,
+        rows: int = DEFAULT_ROWS,
+        fq: str | None = None,
+        field: str = "text",
+        max_expansions: int | None = None,
+        fl_expr: str | None = None,
+    ) -> DataFrame:
+        """Wildcard/prefix query (`prefix*`): the MultiTermQuery
+        scoring-boolean rewrite (operators/multiterm.py) served through the
+        same pipeline as search() — fq pushdown, pagination, projection.
+
+        Expansion resolves against the driver-pinned dictionary snapshot
+        when present (NO Spark job — string-prefix scan of the pinned map),
+        else one pruned dictionary aggregate; either way the expanded term
+        set is bounded by max_expansions (df DESC, term ASC — deterministic
+        under the cap) and then subject to the same MAX_QUERY_TERMS clause
+        guard as every query (ref: BooleanQuery.setMaxClauseCount,
+        SimilarRequestHandler.java:101)."""
+        from liresolr_spark.operators.multiterm import (
+            DEFAULT_MAX_EXPANSIONS, expand_prefix)
+
+        t0 = time.time()
+        if max_expansions is None:
+            max_expansions = DEFAULT_MAX_EXPANSIONS
+        terms = expand_prefix(
+            self.spark, self.index_dir, prefix, field=field,
+            max_expansions=max_expansions,
+            dictionary_df=self._dictionary, dictionary_map=self._dict_map)
+        self._check_clauses(terms)
+        if not terms:
+            empty = self.spark.createDataFrame([], "docID long, score double")
+            return self._project(empty)
+        pool = start + rows
+        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        hits = self._wand(terms, k=pool, field=field, allow_docids=allow,
+                          extra_deny=fq_deny)
+        out = self._project(self._paginate(hits, start, rows))
+        if fl_expr is not None:
+            out = out.withColumn("fval", F.expr(fl_expr))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": field, "n_terms": len(terms), "pool": pool,
+            "prefix": prefix,
+        }
+        return out
+
     # -- /lireId analog -----------------------------------------------------
 
     @_counted

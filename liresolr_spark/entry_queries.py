@@ -65,18 +65,26 @@ TOK = tokenize_sql_duckdb("text")
 
 
 def _bm25_sql(query: str, k: int, fq_where: str = "", extra_from: str = "documents",
-              hashed: bool = False) -> str:
+              hashed: bool = False, q_sql: str | None = None) -> str:
     """DuckDB BM25 with global stats + optional candidate filter (fq).
 
     hashed=True scores the liresolr hash-token family instead of the lexical
     one (the `_ha` field, ref: ParallelSolrIndexer.java:459-472): every token
     — postings AND query — maps through substr(md5(tok), 1, 8) first, so hash
     collisions fold df/tf/qtf exactly as the index does. doclen is unchanged
-    (each lexical token maps to exactly one hash token)."""
-    terms = py_tokenize(query)
-    if hashed:
-        terms = [py_hash_token(t) for t in terms]
-    qvals = _terms_values_sql(terms)
+    (each lexical token maps to exactly one hash token).
+
+    q_sql, if given, replaces the literal VALUES query-term list with a
+    DERIVED (term, qtf) relation (it may reference the `tok` CTE) — the
+    MultiTermQuery rewrite hook: a prefix query's term set comes from the
+    corpus vocabulary, not the query string."""
+    if q_sql is not None:
+        qvals = q_sql
+    else:
+        terms = py_tokenize(query)
+        if hashed:
+            terms = [py_hash_token(t) for t in terms]
+        qvals = _terms_values_sql(terms)
     fq_clause = f"WHERE {fq_where}" if fq_where else ""
     tok_src = (f"SELECT doc_id, {hash_token_sql_duckdb('term')} AS term FROM "
                f"(SELECT doc_id, unnest({TOK}) AS term FROM {extra_from})"
@@ -1689,6 +1697,127 @@ def w02(spark, sf_dir):
     idx = _entry_index(spark, sf_dir)
     ha_terms = [py_hash_token(t) for t in _pt(FLAGSHIP_QUERY)]
     hits = wand_topk(spark, idx, ha_terms, k=K_DEFAULT, field="ha")
+    return _hits_to_doc_ids(spark, idx, hits)
+
+
+# ---- multi-term rewrite + phrase (positionless two-stage) ------------------
+
+_PREFIX, _PREFIX_MAX_EXP = "s", 4
+# the derived (term, qtf) relation for the prefix rewrite: vocabulary terms
+# under the prefix, capped at max_expansions by (df DESC, term ASC) — the
+# exact expansion order the engine uses, so the cap cuts identically even
+# inside a df tie (at sf0.001 'slow' and 'spark' tie at df=387 on the cap
+# boundary; the term tiebreak decides)
+_PREFIX_Q_SQL = (
+    "(SELECT term, 1 AS qtf FROM ("
+    "SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+    f"WHERE term LIKE '{_PREFIX}%' GROUP BY term "
+    f"ORDER BY df DESC, term LIMIT {_PREFIX_MAX_EXP}) exp) AS q"
+)
+
+
+@_reg("w03_prefix_topk_index",
+      _bm25_sql(_PREFIX, K_DEFAULT, q_sql=_PREFIX_Q_SQL))
+def w03(spark, sf_dir):
+    """Prefix/wildcard query through the SERVED API facade: Lucene's
+    MultiTermQuery scoring-boolean rewrite (stock Solr wildcard syntax on
+    the reference's whitespace-analyzed text fields, e.g. a hash-prefix
+    probe on `_ha`, README.md:144-160) — enumerate matching dictionary
+    terms, cap at max_expansions by (df DESC, term ASC), score the
+    expansion as an OR of BM25 clauses with qtf=1 (operators/multiterm.py).
+    The DuckDB oracle derives the SAME capped expansion from the corpus
+    vocabulary and scores the same BM25 — expansion determinism (including
+    the tiebreak inside a df tie on the cap boundary) is part of what the
+    gate checks."""
+    eng = _entry_engine(spark, sf_dir)
+    out = eng.prefix_search(_PREFIX, rows=K_DEFAULT,
+                            max_expansions=_PREFIX_MAX_EXP)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
+_PHRASE_Q18 = "merge sort"
+_PHRASE_W04 = "hash join"
+
+
+def _phrase_sql(phrase: str, k: int, with_tf: bool) -> str:
+    """DuckDB exact phrase-BM25: the phrase is ONE clause whose tf is the
+    non-overlapping occurrence count of the consecutive token sequence in
+    the space-joined token string (the same length/replace kernel as
+    operators/phrase.phrase_tf_expr), df = matching-doc count."""
+    needle = " " + " ".join(py_tokenize(phrase)) + " "
+    tfcol = ", tf" if with_tf else ""
+    return f"""
+WITH j AS (SELECT doc_id, ' ' || array_to_string({TOK}, ' ') || ' ' AS js,
+                  len({TOK}) AS doclen
+           FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM j),
+m AS (SELECT doc_id, doclen,
+             CAST((length(js) - length(replace(js, '{needle}', '')))
+                  / length('{needle}') AS BIGINT) AS tf
+      FROM j WHERE js LIKE '%{needle}%'),
+d AS (SELECT count(*) AS dfp FROM m)
+SELECT doc_id{tfcol},
+       round(ln(1 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+             * tf * ({BM25_K1} + 1)
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen / s.avgdl)),
+             4) AS score
+FROM m CROSS JOIN stats s CROSS JOIN d
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+@_reg("q18_phrase_bm25", _phrase_sql(_PHRASE_Q18, K_DEFAULT, with_tf=True))
+def q18(spark, sf_dir):
+    """Exact phrase BM25, index-free twin (oracle-parity path, like q01):
+    phrase frequency from the re-tokenized text via pure built-in string
+    expressions, one clause scored with corpus-level N/avgdl and
+    df = verified match count computed inside the plan
+    (operators/phrase.phrase_scores). Lucene analog: PhraseQuery feeding
+    phrase freq into the standard similarity; occurrence counting is
+    non-overlapping in BOTH engines (documented deviation for
+    self-overlapping phrases, see operators/phrase.py)."""
+    from liresolr_spark.operators.bm25 import materialize_and_release
+    from liresolr_spark.operators.phrase import phrase_scores
+
+    n_docs, avgdl = _doc_stats(spark, sf_dir)
+    cache: list = []
+    scored = phrase_scores(_docs(spark, sf_dir), _PHRASE_Q18, n_docs, avgdl,
+                           BM25_K1, BM25_B, content_col="text",
+                           cache_out=cache)
+    topk = (
+        scored.select("doc_id", "tf", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+        .limit(K_DEFAULT)
+    )
+    return materialize_and_release(topk, cache)
+
+
+@_reg("w04_phrase_topk_index", _phrase_sql(_PHRASE_W04, K_DEFAULT,
+                                           with_tf=False))
+def w04(spark, sf_dir):
+    """Exact phrase query THROUGH the persisted index: stage 1 intersects
+    the phrase terms' posting lists per shard (term-pruned block scan, the
+    boolean-AND candidate set); stage 2 verifies and scores ONLY the
+    candidates against the corpus content (the index stores sha256, not
+    content — the positionless-index two-stage plan,
+    operators/phrase.phrase_topk). Must equal the index-free recompute
+    exactly — same oracle shape as q18, phrase df included (candidates ⊇
+    matches makes the df exact)."""
+    from liresolr_spark.operators.bm25 import materialize_and_release
+    from liresolr_spark.operators.phrase import phrase_topk
+
+    idx = _entry_index(spark, sf_dir)
+    corpus = _docs_as_corpus(_docs(spark, sf_dir))
+    cache: list = []
+    hits = materialize_and_release(
+        phrase_topk(spark, idx, corpus, _PHRASE_W04, k=K_DEFAULT,
+                    cache_out=cache),
+        cache)
     return _hits_to_doc_ids(spark, idx, hits)
 
 

@@ -1,0 +1,109 @@
+"""Multi-term (prefix / wildcard) query rewrite over the term dictionary.
+
+Solr accepts wildcard queries on any analyzed field; Lucene executes them
+as a MultiTermQuery: enumerate the matching terms from the term dictionary,
+rewrite into a bounded boolean OR, and score the rewritten query (the
+reference exposes this through its Solr text fields — the `ha` hash field
+is whitespace-analyzed plain text, README.md:144-160, so `fe1a2b*` style
+prefix probes work against it in stock Solr).
+
+This module is the Spark-native rewrite:
+
+- `expand_prefix` enumerates dictionary terms with the given prefix and
+  keeps the top `max_expansions` by (df DESC, term ASC) — the
+  TopTermsScoringBooleanQueryRewrite shape with a deterministic tiebreak
+  (Lucene's default rewrite also caps expansion; its cap is
+  maxBooleanClauses, BooleanQuery.setMaxClauseCount — the same guard the
+  reference relies on at SimilarRequestHandler.java:101). Ranking by df
+  keeps the expansions that can actually score (highest-coverage terms)
+  when the cap binds.
+- `prefix_topk` feeds the expansion to block-max WAND with qtf=1 per
+  expanded term — the scoring-boolean rewrite (each matched term is one
+  SHOULD clause).
+
+Scale shape: the dictionary scan is pruned to `field` and the prefix
+range; its output is at most `max_expansions` rows collected to the
+driver (the same bounded driver materialization as query terms). The
+scoring pass is the ordinary WAND path — term-pruned block scan, per-shard
+kernel, no extra shuffle. A serving layer with the dictionary pinned
+driver-side expands with NO Spark job at all (see
+LireQueryEngine.prefix_search).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from liresolr_spark.operators.wand import wand_topk
+
+# the tokenizer's output alphabet (functions/tokenizer.py spec step d):
+# a prefix outside it can never match a dictionary term
+_PREFIX_RE = re.compile(r"[a-z0-9]+\Z")
+
+DEFAULT_MAX_EXPANSIONS = 16
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    field: str = "text",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    dictionary_df: DataFrame | None = None,
+    dictionary_map: dict | None = None,
+) -> list[str]:
+    """Dictionary terms starting with `prefix`, top `max_expansions` by
+    (df DESC, term ASC) — a deterministic total order, so the expansion set
+    is stable across engines and runs even when the cap cuts inside a df
+    tie. df sums across segment dictionary fragments (the Lucene
+    multi-segment term-dictionary merge, same as wand_topk's idf lookup).
+
+    dictionary_map, if given, is the driver-pinned {field: {term: df}}
+    snapshot — expansion then runs without any Spark job (the hot serving
+    path)."""
+    if not _PREFIX_RE.match(prefix):
+        raise ValueError(
+            f"prefix must be a lowercase [a-z0-9]+ token fragment: {prefix!r}")
+    if dictionary_map is not None:
+        dmap = dictionary_map.get(field, {})
+        matched = [(t, df) for t, df in dmap.items() if t.startswith(prefix)]
+        matched.sort(key=lambda p: (-p[1], p[0]))
+        return [t for t, _ in matched[:max_expansions]]
+    dictionary = (dictionary_df if dictionary_df is not None
+                  else spark.read.parquet(f"{index_dir}/dictionary"))
+    rows = (
+        dictionary
+        .filter((F.col("field") == field) & F.col("term").startswith(prefix))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 60,
+    field: str = "text",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **wand_kwargs,
+) -> DataFrame:
+    """Prefix query -> scoring-boolean rewrite -> block-max WAND top-k.
+
+    Returns DataFrame(docID, score): the exact top-k under the rewritten
+    query (sum of BM25 contributions of the expanded terms, qtf=1 each).
+    Extra kwargs (allow_docids, deny_docids, cached handles) pass through
+    to wand_topk unchanged."""
+    terms = expand_prefix(
+        spark, index_dir, prefix, field=field, max_expansions=max_expansions,
+        dictionary_df=wand_kwargs.get("dictionary_df"),
+        dictionary_map=wand_kwargs.get("dictionary_map"))
+    if not terms:
+        return spark.createDataFrame([], "docID long, score double")
+    return wand_topk(spark, index_dir, terms, k=k, field=field, **wand_kwargs)

@@ -1,0 +1,245 @@
+"""Phrase query (positionless two-stage) + multi-term prefix rewrite.
+
+Property under test for phrases: the index path (posting intersection ->
+candidate verify) must EXACTLY equal an index-free recompute over the
+corpus — same matched docs, same phrase tf, same BM25 scores (candidates
+are a strict superset of matches, so even df agrees). For prefixes: the
+capped expansion is deterministic under (df DESC, term ASC) and the scored
+result is rank-identical to WAND over the manually expanded OR.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from liresolr_spark.functions.tokenizer import tokenize_expr
+from liresolr_spark.operators.multiterm import expand_prefix, prefix_topk
+from liresolr_spark.operators.phrase import (
+    conjunctive_docids,
+    phrase_scores,
+    phrase_topk,
+)
+from liresolr_spark.operators.wand import wand_topk
+from liresolr_spark.plans.build import read_meta
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, corpus200, tmp_path_factory):
+    from liresolr_spark.plans.build import build_index
+
+    d = str(tmp_path_factory.mktemp("phrase_index"))
+    build_index(corpus200, d, num_shards=8, block_size=64)
+    return d
+
+
+@pytest.fixture(scope="module")
+def vocab(spark, indexed):
+    rows = (
+        spark.read.parquet(f"{indexed}/dictionary")
+        .filter(F.col("field") == "text")
+        .orderBy(F.desc("df"), "term")
+        .select("term", "df")
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def bigrams(spark, corpus200):
+    """Most frequent in-corpus bigrams — phrases guaranteed to match."""
+    t = tokenize_expr("content")
+    rows = (
+        corpus200.select(
+            F.explode(F.zip_with(F.slice(t, 1, 1 << 20),
+                                 F.slice(tokenize_expr("content"), 2, 1 << 20),
+                                 lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
+        .filter(F.col("bg").rlike("^[a-z0-9]+ [a-z0-9]+$"))
+        .groupBy("bg").count().orderBy(F.desc("count"), "bg").limit(5)
+        .collect()
+    )
+    return [r["bg"] for r in rows]
+
+
+def _brute_and_docids(spark, indexed, corpus200, terms):
+    """Docs containing ALL terms, via docstats natural-key mapping."""
+    cond = None
+    for t in set(terms):
+        c = F.array_contains(tokenize_expr("content"), t)
+        cond = c if cond is None else (cond & c)
+    keys = corpus200.filter(cond).select("repo", "path", "commit")
+    stats = spark.read.parquet(f"{indexed}/docstats")
+    return {r["docID"] for r in
+            stats.join(keys, ["repo", "path", "commit"]).collect()}
+
+
+def test_conjunctive_equals_bruteforce(spark, indexed, corpus200, vocab):
+    rng = random.Random(99)
+    hot = [t for t, _ in vocab[:10]]
+    mid = [t for t, _ in vocab[10:60]]
+    for trial in range(5):
+        terms = [rng.choice(hot if trial % 2 else mid)
+                 for _ in range(rng.randint(1, 3))]
+        got = {r["docID"]
+               for r in conjunctive_docids(spark, indexed, terms).collect()}
+        want = _brute_and_docids(spark, indexed, corpus200, terms)
+        assert got == want, terms
+
+
+def test_conjunctive_out_of_vocab_is_empty(spark, indexed, vocab):
+    terms = [vocab[0][0], "zz_not_a_term_zz"]
+    assert conjunctive_docids(spark, indexed, terms).count() == 0
+
+
+def test_phrase_index_equals_indexfree(spark, indexed, corpus200, bigrams):
+    meta = read_meta(indexed)
+    stats = spark.read.parquet(f"{indexed}/docstats")
+    matched_any = False
+    for ph in bigrams[:3]:
+        hits = phrase_topk(spark, indexed, corpus200, ph, k=500).collect()
+        free = phrase_scores(corpus200, ph, meta.n_docs, meta.avgdl,
+                             meta.k1, meta.b)
+        free_keyed = (
+            free.join(stats.select("docID", "repo", "path", "commit"),
+                      ["repo", "path", "commit"])
+            .select("docID", "tf", "score").collect())
+        assert {r["docID"] for r in hits} == {r["docID"] for r in free_keyed}
+        fs = {r["docID"]: r["score"] for r in free_keyed}
+        for r in hits:
+            assert abs(r["score"] - fs[r["docID"]]) < 1e-9, ph
+        matched_any = matched_any or len(hits) > 0
+    assert matched_any, "fixture bigrams never matched — test is vacuous"
+
+
+def test_phrase_topk_is_topk(spark, indexed, corpus200, bigrams):
+    """k smaller than the match count truncates by (score DESC, docID ASC)."""
+    full = phrase_topk(spark, indexed, corpus200, bigrams[0], k=500).collect()
+    if len(full) < 3:
+        pytest.skip("hot bigram unexpectedly rare")
+    k = max(1, len(full) // 2)
+    cut = phrase_topk(spark, indexed, corpus200, bigrams[0], k=k).collect()
+    order = sorted(full, key=lambda r: (-r["score"], r["docID"]))[:k]
+    assert [(r["docID"], round(r["score"], 9)) for r in cut] \
+        == [(r["docID"], round(r["score"], 9)) for r in order]
+
+
+def test_phrase_cache_out_identical_and_released(spark, indexed, corpus200,
+                                                 bigrams):
+    """cache_out collapses the duplicated verify subtree (scores + df both
+    consume `matched`) without changing results, and the handle releases."""
+    from liresolr_spark.operators.bm25 import materialize_and_release
+
+    plain = phrase_topk(spark, indexed, corpus200, bigrams[0], k=50).collect()
+    cache: list = []
+    cached = materialize_and_release(
+        phrase_topk(spark, indexed, corpus200, bigrams[0], k=50,
+                    cache_out=cache), cache)
+    assert [(r["docID"], round(r["score"], 9)) for r in cached.collect()] \
+        == [(r["docID"], round(r["score"], 9)) for r in plain]
+    assert cache and all(c.storageLevel.useMemory is False for c in cache)
+
+
+def test_phrase_zero_matches_empty(spark, indexed, corpus200, vocab):
+    # both terms exist but (almost surely) never adjacently in this order;
+    # use a rare pair and assert against the index-free recompute instead of
+    # assuming emptiness
+    meta = read_meta(indexed)
+    ph = f"{vocab[-1][0]} {vocab[-2][0]}"
+    n_free = phrase_scores(corpus200, ph, meta.n_docs, meta.avgdl,
+                           meta.k1, meta.b).count()
+    n_idx = phrase_topk(spark, indexed, corpus200, ph, k=50).count()
+    assert n_idx == n_free
+    assert phrase_topk(spark, indexed, corpus200,
+                       "zz_not_a_term_zz also_missing", k=10).count() == 0
+    assert phrase_topk(spark, indexed, corpus200, "...", k=10).count() == 0
+
+
+def test_phrase_overlap_semantics(spark):
+    """Non-overlapping left-to-right count (documented deviation from
+    Lucene's positional count for self-overlapping phrases)."""
+    rows = [("r", "p1", "c", "py", "x a a a y"),     # 'a a' once (not twice)
+            ("r", "p2", "c", "py", "a a b a a"),     # twice
+            ("r", "p3", "c", "py", "no match here")]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string,"
+                               " lang string, content string")
+    got = {r["path"]: r["tf"]
+           for r in phrase_scores(df, "a a", 3, 4.0, 1.2, 0.75).collect()}
+    assert got == {"p1": 1, "p2": 2}
+
+
+def test_phrase_allow_deny(spark, indexed, corpus200, bigrams):
+    full = phrase_topk(spark, indexed, corpus200, bigrams[0], k=500).collect()
+    if len(full) < 2:
+        pytest.skip("hot bigram unexpectedly rare")
+    stats = spark.read.parquet(f"{indexed}/docstats").select("shard", "docID")
+    victim = full[0]["docID"]
+    deny = stats.filter(F.col("docID") == victim)
+    got = phrase_topk(spark, indexed, corpus200, bigrams[0], k=500,
+                      deny_docids=deny).collect()
+    assert {r["docID"] for r in got} == {r["docID"] for r in full} - {victim}
+    allow = stats.filter(F.col("docID") == victim)
+    got2 = phrase_topk(spark, indexed, corpus200, bigrams[0], k=500,
+                       allow_docids=allow).collect()
+    assert {r["docID"] for r in got2} == {victim}
+
+
+# ---- prefix / multi-term rewrite -------------------------------------------
+
+
+def test_expand_prefix_cap_and_order(spark, indexed, vocab):
+    for prefix, cap in [("s", 3), ("re", 2), ("a", 100)]:
+        want = [t for t, _ in sorted(
+            [(t, df) for t, df in vocab if t.startswith(prefix)],
+            key=lambda p: (-p[1], p[0]))][:cap]
+        got = expand_prefix(spark, indexed, prefix, max_expansions=cap)
+        assert got == want, prefix
+
+
+def test_expand_prefix_pinned_map_matches_cluster(spark, indexed, vocab):
+    dmap = {"text": {t: df for t, df in vocab}}
+    for prefix in ["s", "re", "zz"]:
+        assert expand_prefix(spark, indexed, prefix, max_expansions=4,
+                             dictionary_map=dmap) \
+            == expand_prefix(spark, indexed, prefix, max_expansions=4)
+
+
+def test_expand_prefix_rejects_non_token(spark, indexed):
+    for bad in ["", "Re", "a*", "a b", "é"]:
+        with pytest.raises(ValueError):
+            expand_prefix(spark, indexed, bad)
+
+
+def test_prefix_topk_equals_manual_wand(spark, indexed):
+    terms = expand_prefix(spark, indexed, "s", max_expansions=4)
+    assert terms, "fixture corpus has no s-terms?"
+    got = prefix_topk(spark, indexed, "s", k=20, max_expansions=4).collect()
+    want = wand_topk(spark, indexed, terms, k=20).collect()
+    assert [(r["docID"], round(r["score"], 9)) for r in got] \
+        == [(r["docID"], round(r["score"], 9)) for r in want]
+
+
+def test_prefix_topk_no_match_empty(spark, indexed):
+    out = prefix_topk(spark, indexed, "zzqq", k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["docID", "score"]
+
+
+def test_engine_prefix_search(spark, indexed):
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, indexed)
+    out = eng.prefix_search("s", rows=10, max_expansions=4).collect()
+    op = prefix_topk(spark, indexed, "s", k=10, max_expansions=4).collect()
+    assert [r["docID"] for r in out] == [r["docID"] for r in op]
+    assert {"repo", "path", "commit", "lang", "score"} <= set(out[0].asDict())
+    # fq pushdown through the same cache/pushdown path as search()
+    langs = [r["lang"] for r in out]
+    if len(set(langs)) > 1:
+        pick = langs[-1]
+        fq_out = eng.prefix_search("s", rows=10, max_expansions=4,
+                                   fq=f"lang = '{pick}'").collect()
+        assert fq_out and all(r["lang"] == pick for r in fq_out)
+    # no expansion -> empty projected frame, not an error
+    assert eng.prefix_search("zzqq", rows=5).count() == 0
