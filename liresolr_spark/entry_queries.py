@@ -1747,7 +1747,7 @@ def _phrase_sql(phrase: str, k: int, with_tf: bool) -> str:
     """DuckDB exact phrase-BM25: the phrase is ONE clause whose tf is the
     non-overlapping occurrence count of the consecutive token sequence in
     the space-joined token string (the same length/replace kernel as
-    operators/phrase.phrase_tf_expr), df = matching-doc count."""
+    operators/phrase.phrase_scores' staged string kernel), df = matching-doc count."""
     needle = " " + " ".join(py_tokenize(phrase)) + " "
     tfcol = ", tf" if with_tf else ""
     return f"""

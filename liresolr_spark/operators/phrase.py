@@ -84,6 +84,18 @@ def conjunctive_docids(
         if len(bl) == 0 or bl["term"].nunique() < n_required:
             return empty
         shard = int(bl["shard"].iloc[0])
+        # block-range pre-intersection (the block-max-WAND flavored saving):
+        # blocks are ALIGNED docID ranges, so a doc in the AND result can
+        # only live in a block_seq present for EVERY term — decode nothing
+        # outside that range set. A rare+hot phrase then decodes only the
+        # hot term's blocks that overlap the rare term's, not its full
+        # posting list.
+        seq_sets = [set(g["block_seq"]) for _, g in
+                    bl.groupby("term", sort=False)]
+        live = set.intersection(*seq_sets)
+        if not live:
+            return empty
+        bl = bl[bl["block_seq"].isin(live)]
         bl = bl.sort_values("block_seq", kind="stable")
         per_term = []
         for _, grp in bl.groupby("term", sort=False):
@@ -107,18 +119,6 @@ def conjunctive_docids(
 
     return _run_shard_kernel(
         spark, blocks, kernel, "shard int, docID long", meta.num_shards)
-
-
-def phrase_tf_expr(tokens_col: Column, terms: list[str]) -> Column:
-    """Phrase frequency from a token-array column: non-overlapping count of
-    the consecutive sequence `terms`, via the space-joined-string kernel
-    (identical semantics to the DuckDB oracle's replace/length form)."""
-    needle = " " + " ".join(terms) + " "
-    joined = F.concat(F.lit(" "), F.array_join(tokens_col, " "), F.lit(" "))
-    return (
-        (F.length(joined) - F.length(F.replace(joined, F.lit(needle), F.lit(""))))
-        / F.length(F.lit(needle))
-    ).cast("long")
 
 
 def phrase_scores(
@@ -153,14 +153,34 @@ def phrase_scores(
     if not terms:
         return docs.filter(F.lit(False)).withColumn(
             "tf", F.lit(0).cast("long")).withColumn("score", F.lit(0.0))
-    toks = tokenize_expr(F.col(content_col))
-    dl = (doclen_col if doclen_col is not None
-          else F.size(toks)).cast("double")
+    # STAGED projections (the CollapseProject lesson from ops/clean.py's
+    # quality gate): inlining the tf expression into filter + score
+    # re-evaluates tokenize + array_join + replace once per reference —
+    # measured 12.0s vs 4.9s staged on a 20k-doc hot phrase at local[32].
+    # Stage 1 materializes the token array once; stage 2 the joined string
+    # (non-cheap, multiply-referenced aliases — exactly the condition under
+    # which the optimizer preserves the projection split); the match filter
+    # is a single `contains` scan (tf >= 1 ⟺ contains), and the tf replace
+    # pass runs only over the surviving rows.
+    needle = " " + " ".join(terms) + " "
+    passthrough = [c for c in docs.columns if c != content_col]
+    toked = docs.select(
+        *passthrough, tokenize_expr(F.col(content_col)).alias("_toks"))
+    staged = toked.select(
+        *passthrough,
+        (doclen_col if doclen_col is not None
+         else F.size("_toks")).cast("double").alias("_dl"),
+        F.concat(F.lit(" "), F.array_join("_toks", " "),
+                 F.lit(" ")).alias("_js"),
+    )
+    tf = (
+        (F.length("_js")
+         - F.length(F.replace(F.col("_js"), F.lit(needle), F.lit(""))))
+        / F.length(F.lit(needle))
+    ).cast("long")
     matched = (
-        docs.withColumn("tf", phrase_tf_expr(toks, terms))
-        .filter(F.col("tf") > 0)
-        .withColumn("_dl", dl)
-        .drop(content_col)  # content served its purpose; keep the rows slim
+        staged.filter(F.col("_js").contains(needle))
+        .select(*passthrough, F.col("_dl"), tf.alias("tf"))
     )
     if cache_out is not None:
         matched = matched.persist()
@@ -216,9 +236,18 @@ def phrase_topk(
         cand = cand.join(deny_docids.select("shard", "docID"),
                          ["shard", "docID"], "left_anti")
     stats = spark.read.parquet(f"{index_dir}/docstats").select(
-        "shard", "docID", "doclen", *NATURAL_KEY)
-    keyed = cand.join(stats, ["shard", "docID"]).join(
-        corpus.select(*NATURAL_KEY, content_col), NATURAL_KEY)
+        "shard", "docID", "doclen", "sha256", *NATURAL_KEY)
+    # the sha256 equality pin (the north-rule per-row invariant, stored in
+    # docstats at build time) keeps the verify honest under duplicate
+    # natural keys in the corpus: the build keeps one winner per key
+    # (assign_doc_ids dedup), and without the pin the content join could
+    # fan out to — and verify against — a LOSING duplicate's content
+    keyed = (
+        cand.join(stats, ["shard", "docID"])
+        .join(corpus.select(*NATURAL_KEY, content_col), NATURAL_KEY)
+        .filter(F.sha2(F.col(content_col), 256) == F.col("sha256"))
+        .drop("sha256")
+    )
     scored = phrase_scores(
         keyed, phrase, meta.n_docs, meta.avgdl, meta.k1, meta.b,
         content_col=content_col, doclen_col=F.col("doclen"),

@@ -185,6 +185,36 @@ def test_phrase_allow_deny(spark, indexed, corpus200, bigrams):
     assert {r["docID"] for r in got2} == {victim}
 
 
+def test_phrase_duplicate_natural_key_pins_to_indexed_content(spark, tmp_path):
+    """Duplicate (repo,path,commit) rows: the build keeps the
+    lexicographically-least content (assign_doc_ids dedup); the verify join
+    must score THAT content, not a losing duplicate's — pinned by the
+    stored sha256 (without the pin, a losing duplicate containing the
+    phrase would produce a hit the index's own document does not have)."""
+    from liresolr_spark.plans.build import build_index
+
+    rows = [
+        # winner (min content) has NO phrase; loser HAS it
+        ("r", "dup1", "c", "py", "alpha beta gamma"),
+        ("r", "dup1", "c", "py", "zz magic words zz"),
+        # winner HAS the phrase; loser does not
+        ("r", "dup2", "c", "py", "aa magic words aa"),
+        ("r", "dup2", "c", "py", "zz nothing zz"),
+        ("r", "solo", "c", "py", "magic words solo"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string,"
+                               " lang string, content string")
+    d = str(tmp_path / "dup_idx")
+    build_index(df, d, num_shards=2, block_size=16)
+    hits = phrase_topk(spark, d, df, "magic words", k=10).collect()
+    stats = spark.read.parquet(f"{d}/docstats").select("docID", "path")
+    paths = {r["path"] for r in
+             stats.join(spark.createDataFrame(
+                 [(h["docID"],) for h in hits], "docID long"),
+                 "docID").collect()}
+    assert paths == {"dup2", "solo"}  # dup1's winner has no phrase
+
+
 # ---- prefix / multi-term rewrite -------------------------------------------
 
 
