@@ -25,8 +25,11 @@ HASH_VERSION = 1
 # min_dl) avgdl-independent WAND bounds + append-segment support; v4:
 # dictionary fragments partitioned by seg= and manifest by shard= so
 # segment-append retries are idempotent, epoch ledger folded into meta.json
-# for an atomic commit point)
-INDEX_FORMAT_VERSION = 4
+# for an atomic commit point; v5: blocks carry a `positions` stream — per
+# posting, within-doc token positions delta-gapped + varint'd, empty when
+# the index is built with_positions=False or for the hash-token family —
+# the Lucene .pos analog backing index-only phrase queries)
+INDEX_FORMAT_VERSION = 5
 
 # Lucene 4.10 BM25 defaults (ref: SimilarRequestHandler.java:98 `new BM25Similarity()`).
 BM25_K1 = 1.2

@@ -501,6 +501,52 @@ class LireQueryEngine:
         }
         return out
 
+    @_counted
+    def phrase_search(
+        self,
+        text: str,
+        start: int = 0,
+        rows: int = DEFAULT_ROWS,
+        fq: str | None = None,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """Exact phrase query (Solr `"..."` syntax) served through the same
+        pipeline as search() — fq pushdown, pagination, projection.
+
+        On a positional index (build_index(with_positions=True)) the phrase
+        is answered entirely from the posting blocks (Lucene PhraseQuery
+        semantics, operators/phrase.py); otherwise the two-stage verify
+        path runs and needs `corpus` (the index stores sha256, not
+        content). Unlike the other handlers this returns an EAGERLY
+        materialized result (local relation): the match pipeline has two
+        consumers (scores + phrase df) and eager materialization through
+        the cache handle is what keeps it single-pass without leaking a
+        persisted relation past the request."""
+        from liresolr_spark.operators.bm25 import materialize_and_release
+        from liresolr_spark.operators.phrase import phrase_topk
+
+        t0 = time.time()
+        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        deny = self._deny
+        if fq_deny is not None:
+            deny = (fq_deny if deny is None
+                    else deny.unionByName(fq_deny))
+        cache: list = []
+        hits = materialize_and_release(
+            phrase_topk(
+                self.spark, self.index_dir, corpus, text,
+                k=start + rows, blocks_df=self._blocks, meta=self.meta,
+                allow_docids=allow, deny_docids=deny, cache_out=cache),
+            cache)
+        out = self._project(self._paginate(hits, start, rows))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": "text", "phrase": text,
+            "path": ("positions" if getattr(self.meta, "with_positions",
+                                            False) else "verify"),
+        }
+        return out
+
     # -- /lireId analog -----------------------------------------------------
 
     @_counted

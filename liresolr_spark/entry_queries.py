@@ -1586,9 +1586,10 @@ def _entry_index(spark, sf_dir: str) -> str:
     ship_package(spark)
     # 'ha1' in the tag: round 4 flipped the shared index to
     # with_hash_tokens=True (the reference's core _ha workflow,
-    # ParallelSolrIndexer.java:459-472) — the tag change invalidates any
-    # cached hash-less build from an earlier round
-    tag = _h.md5(f"{sf_dir}:ha1".encode()).hexdigest()[:10]
+    # ParallelSolrIndexer.java:459-472); 'pos1': round 4 also enabled the
+    # positional stream (w05's corpus-free phrase path) — each tag change
+    # invalidates stale cached builds from earlier rounds
+    tag = _h.md5(f"{sf_dir}:ha1pos1".encode()).hexdigest()[:10]
     idx = f"/tmp/liresolr_entry_index_{tag}"
     stale = (not _os.path.exists(f"{idx}/meta.json")
              or read_meta(idx).format_version != INDEX_FORMAT_VERSION)
@@ -1597,7 +1598,8 @@ def _entry_index(spark, sf_dir: str) -> str:
 
         _sh.rmtree(idx, ignore_errors=True)
         build_index(_docs_as_corpus(_docs(spark, sf_dir)), idx,
-                    num_shards=8, block_size=128, with_hash_tokens=True)
+                    num_shards=8, block_size=128, with_hash_tokens=True,
+                    with_positions=True)
     return idx
 
 
@@ -1748,10 +1750,12 @@ def _phrase_sql(phrase: str, k: int, with_tf: bool) -> str:
     non-overlapping occurrence count of the consecutive token sequence in
     the space-joined token string (the same length/replace kernel as
     operators/phrase.phrase_scores' staged string kernel), df = matching-doc count."""
-    needle = " " + " ".join(py_tokenize(phrase)) + " "
+    # double-space join — see operators/phrase.phrase_scores: adjacent
+    # phrase repetitions must not share a boundary space
+    needle = " " + "  ".join(py_tokenize(phrase)) + " "
     tfcol = ", tf" if with_tf else ""
     return f"""
-WITH j AS (SELECT doc_id, ' ' || array_to_string({TOK}, ' ') || ' ' AS js,
+WITH j AS (SELECT doc_id, ' ' || array_to_string({TOK}, '  ') || ' ' AS js,
                   len({TOK}) AS doclen
            FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM j),
@@ -1797,17 +1801,70 @@ def q18(spark, sf_dir):
     return materialize_and_release(topk, cache)
 
 
+_PHRASE_W05 = "sort merge"
+
+
+def _phrase_positional_sql(phrase: str, k: int) -> str:
+    """DuckDB exact phrase-BM25 with SLIDING occurrence count (the
+    positional path's Lucene-exact tf: every match position counts,
+    self-overlapping included) — list_filter over the token array, the
+    relational twin of operators/phrase.positional_matches."""
+    terms = py_tokenize(phrase)
+    n = len(terms)
+    cond = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH j AS (SELECT doc_id, {TOK} AS toks, len({TOK}) AS doclen FROM documents),
+m AS (SELECT doc_id, doclen,
+             len(list_filter(range(1, doclen - {n} + 2),
+                 i -> {cond})) AS tf
+      FROM j),
+mm AS (SELECT * FROM m WHERE tf > 0),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM j),
+d AS (SELECT count(*) AS dfp FROM mm)
+SELECT doc_id,
+       round(ln(1 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+             * tf * ({BM25_K1} + 1)
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen / s.avgdl)),
+             4) AS score
+FROM mm CROSS JOIN stats s CROSS JOIN d
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+@_reg("w05_phrase_positional", _phrase_positional_sql(_PHRASE_W05, K_DEFAULT))
+def w05(spark, sf_dir):
+    """Exact phrase query answered ENTIRELY from the positional index,
+    through the SERVED API facade: the entry index is built
+    with_positions=True (the Lucene .pos analog, format v5), so
+    LireQueryEngine.phrase_search never touches the corpus — per-shard
+    postings+positions decode, docID AND, sliding (doc, pos-i) key
+    intersection (operators/phrase.positional_matches). The DuckDB oracle
+    recomputes the sliding phrase frequency from the token arrays and
+    scores the same single-clause BM25 — tf semantics (every match
+    position, self-overlap included) are pinned cross-engine."""
+    eng = _entry_engine(spark, sf_dir)
+    out = eng.phrase_search(_PHRASE_W05, rows=K_DEFAULT)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 @_reg("w04_phrase_topk_index", _phrase_sql(_PHRASE_W04, K_DEFAULT,
                                            with_tf=False))
 def w04(spark, sf_dir):
     """Exact phrase query THROUGH the persisted index: stage 1 intersects
     the phrase terms' posting lists per shard (term-pruned block scan, the
     boolean-AND candidate set); stage 2 verifies and scores ONLY the
-    candidates against the corpus content (the index stores sha256, not
-    content — the positionless-index two-stage plan,
-    operators/phrase.phrase_topk). Must equal the index-free recompute
-    exactly — same oracle shape as q18, phrase df included (candidates ⊇
-    matches makes the df exact)."""
+    candidates against the corpus content pinned to the indexed sha256
+    (the positionless-index two-stage plan, operators/phrase.phrase_topk;
+    mode='verify' forces it here so the verify machinery stays
+    driver-gated alongside its positional twin w05). Must equal the
+    index-free recompute exactly — same oracle shape as q18, phrase df
+    included (candidates ⊇ matches makes the df exact)."""
     from liresolr_spark.operators.bm25 import materialize_and_release
     from liresolr_spark.operators.phrase import phrase_topk
 
@@ -1816,7 +1873,7 @@ def w04(spark, sf_dir):
     cache: list = []
     hits = materialize_and_release(
         phrase_topk(spark, idx, corpus, _PHRASE_W04, k=K_DEFAULT,
-                    cache_out=cache),
+                    cache_out=cache, mode="verify"),
         cache)
     return _hits_to_doc_ids(spark, idx, hits)
 

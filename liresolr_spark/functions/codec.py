@@ -139,3 +139,51 @@ def decode_block(
         varint_decode(tf_bytes),
         varint_decode(doclen_bytes),
     )
+
+
+def decode_positions(
+    pos_bytes: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's positions stream (Lucene .pos layout: per posting,
+    its within-doc token positions delta-gapped then varint'd, postings
+    concatenated — posting i owns exactly tfs[i] values).
+
+    Returns (flat_positions, offsets): posting i's positions are
+    flat_positions[offsets[i]:offsets[i+1]], ascending."""
+    gaps = varint_decode(pos_bytes)
+    offsets = np.concatenate(
+        ([0], np.cumsum(np.asarray(tfs, dtype=np.int64))))
+    if gaps.size == 0:
+        return gaps, offsets
+    # one cumsum over the whole stream, then subtract each posting's
+    # incoming prefix (its first gap is absolute, so the carry from earlier
+    # postings must be removed) — vectorized via np.repeat of the prefix
+    flat = np.cumsum(gaps, dtype=np.uint64)
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    prefix = np.concatenate(
+        ([np.uint64(0)], flat[starts[1:] - 1])) if len(starts) > 1 \
+        else np.array([0], dtype=np.uint64)
+    return (flat - np.repeat(prefix, lens)).astype(np.uint64), offsets
+
+
+def positions_byte_slices(pos_bytes: bytes, tfs: np.ndarray) -> list[bytes]:
+    """Split a block's positions stream into PER-POSTING byte slices without
+    decoding values (LEB128 end-bits mark value boundaries). Positions are
+    delta-gapped WITHIN a posting, so each slice is a self-contained stream
+    — slices re-concatenate into valid blocks in any posting order (the
+    zero-recode path compaction uses to remap docIDs without touching
+    positions)."""
+    b = np.frombuffer(pos_bytes, dtype=np.uint8)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if b.size == 0:
+        return [b""] * len(tfs)
+    ends = np.nonzero((b & 0x80) == 0)[0]  # last byte of each value
+    cum = np.cumsum(tfs)
+    # byte offset where posting i starts = end of its predecessor's last
+    # value + 1 (0 for the first)
+    starts_b = np.concatenate(([0], ends[cum[:-1] - 1] + 1)) if len(cum) > 1 \
+        else np.array([0], dtype=np.int64)
+    ends_b = np.concatenate((starts_b[1:], [len(b)]))
+    raw = bytes(pos_bytes)
+    return [raw[s:e] for s, e in zip(starts_b, ends_b)]

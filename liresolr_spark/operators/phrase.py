@@ -1,42 +1,46 @@
-"""Exact phrase query over the block index + corpus (two-stage AND/verify).
+"""Exact phrase query over the block index (positional or two-stage verify).
 
-Lucene answers PhraseQuery from term POSITIONS stored in the postings.
-This index deliberately stores none — its per-doc payload is the content
-sha256 (the north-rule per-row invariant), not the content — so phrase
-matching runs as the classic two-stage plan a positionless index forces:
+Lucene answers PhraseQuery from term POSITIONS stored in the postings
+(.pos file). This engine supports both layouts:
 
-  1. CANDIDATES from the index: docs containing ALL phrase terms, computed
-     per shard by intersecting the terms' posting lists (term-pruned block
-     scan -> Arrow decode -> sorted-array intersection inside one
-     applyInPandas kernel per shard; no posting shuffle — postings of one
-     doc live in one shard by construction, shard = docID range).
-  2. VERIFY + SCORE on the candidate set only: candidates join back to the
-     corpus by natural key and the phrase frequency is computed from the
-     re-tokenized content with pure built-in string expressions.
+- **Positional index** (`build_index(with_positions=True)`): blocks carry a
+  4th stream — per posting, the doc's token positions delta-gapped +
+  varint'd. A phrase query is then answered ENTIRELY inside the index: per
+  shard, decode the phrase terms' postings + positions, intersect docIDs,
+  and count sliding matches by intersecting (doc, position - offset) key
+  sets across the terms — one term-pruned block scan, no corpus access,
+  no shuffle of postings. tf = Lucene's phrase frequency (every match
+  position counts, including self-overlapping ones).
 
-Every doc containing the phrase contains all its terms, so stage 1 is a
-strict superset and the result is EXACT — including the phrase df (count
-of verified docs), which makes the scores identical to an index-free
-recompute (gated by the q18/w04 DuckDB oracle).
+- **Positionless index** (the default; per-doc payload is the content
+  sha256, the north-rule invariant): the classic two-stage plan —
+  1. CANDIDATES: docs containing ALL phrase terms, per-shard posting-list
+     intersection (same kernel dispatch as WAND);
+  2. VERIFY + SCORE candidates only: join back to the corpus by natural
+     key (content pinned to the indexed sha256) and count the phrase in
+     the re-tokenized content with built-in string expressions.
+  The string kernel counts NON-OVERLAPPING occurrences left-to-right
+  (`length - length(replace(...))`) — identical in Spark and the DuckDB
+  oracle; it differs from the positional/Lucene count only for
+  self-overlapping phrases ("a a" in "a a a": 1 here, 2 positionally) — a
+  documented deviation taken so the verify path stays a pure
+  SQL-expressible function.
 
-Scoring: the phrase is ONE BM25 clause whose tf is the number of
-occurrences of the consecutive token sequence — Lucene's PhraseQuery
-semantics (phrase frequency feeds the same tf normalization,
-ExactPhraseMatcher feeding into the standard similarity). Occurrences are
-counted NON-OVERLAPPING left-to-right (the `length - length(replace(...))`
-string kernel, identical in Spark and the DuckDB oracle); this differs
-from Lucene's sliding positional count only for self-overlapping phrases
-("a a" inside "a a a": 1 here, 2 in Lucene) — a documented deviation taken
-so both engines compute the same pure-SQL-expressible function.
+Every doc containing the phrase contains all its terms, so the candidate
+set is a strict superset and BOTH paths are exact — including the phrase
+df (count of matching docs), which makes the scores identical to an
+index-free recompute (gated by the q18/w04/w05 DuckDB oracles).
 
-Scale shape: stage 1 touches only the phrase terms' posting blocks. Stage
-2 is two scans joined against the bounded candidate set — docstats (natural
-keys of candidates) and the corpus (content of candidates); neither join
-shuffles the big side when the candidate set broadcasts, and the optimizer
-decides that by size (NOT forced: a stop-word phrase's candidate set is as
-big as its rarest term's postings, and a forced broadcast of an unbounded
-side is an OOM at 10^12 docs). A corpus whose phrase traffic matters would
-store positions index-side; the seam for that is stage 1's kernel.
+Scoring: the phrase is ONE BM25 clause whose tf is the phrase frequency
+(PhraseQuery feeding the standard similarity).
+
+Scale shape: the positional path reads only the phrase terms' posting
+blocks — the right physical plan at any corpus size (positions cost the
+usual Lucene premium at index time: the full token stream shuffles into
+the postings aggregate instead of a map-side-combined count). The verify
+path additionally scans docstats + corpus restricted to the candidate set;
+the candidate side is NOT force-broadcast (a stop-word phrase's candidates
+are as big as its rarest term's postings — the optimizer decides by size).
 """
 
 from __future__ import annotations
@@ -46,9 +50,27 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from liresolr_spark.functions.codec import decode_block
+from liresolr_spark.functions.codec import decode_block, decode_positions
 from liresolr_spark.functions.tokenizer import py_tokenize, tokenize_expr
 from liresolr_spark.plans.build import NATURAL_KEY, read_meta
+
+
+def _pre_intersect_blocks(bl: pd.DataFrame, n_required: int
+                          ) -> pd.DataFrame | None:
+    """Block-range pre-intersection (the block-max-WAND flavored saving):
+    blocks are ALIGNED docID ranges, so an AND hit can only live in a
+    block_seq present for EVERY term — decode nothing outside that range
+    set. A rare+hot phrase then decodes only the hot term's blocks that
+    overlap the rare term's, not its full posting list. Returns the pruned
+    frame sorted by block_seq, or None if the shard can't match."""
+    if len(bl) == 0 or bl["term"].nunique() < n_required:
+        return None
+    seq_sets = [set(g["block_seq"]) for _, g in bl.groupby("term", sort=False)]
+    live = set.intersection(*seq_sets)
+    if not live:
+        return None
+    return bl[bl["block_seq"].isin(live)].sort_values("block_seq",
+                                                      kind="stable")
 
 
 def conjunctive_docids(
@@ -81,22 +103,10 @@ def conjunctive_docids(
     def kernel(bl: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"shard": pd.Series(dtype="int32"),
                               "docID": pd.Series(dtype="int64")})
-        if len(bl) == 0 or bl["term"].nunique() < n_required:
+        bl = _pre_intersect_blocks(bl, n_required)
+        if bl is None:
             return empty
         shard = int(bl["shard"].iloc[0])
-        # block-range pre-intersection (the block-max-WAND flavored saving):
-        # blocks are ALIGNED docID ranges, so a doc in the AND result can
-        # only live in a block_seq present for EVERY term — decode nothing
-        # outside that range set. A rare+hot phrase then decodes only the
-        # hot term's blocks that overlap the rare term's, not its full
-        # posting list.
-        seq_sets = [set(g["block_seq"]) for _, g in
-                    bl.groupby("term", sort=False)]
-        live = set.intersection(*seq_sets)
-        if not live:
-            return empty
-        bl = bl[bl["block_seq"].isin(live)]
-        bl = bl.sort_values("block_seq", kind="stable")
         per_term = []
         for _, grp in bl.groupby("term", sort=False):
             ids = np.concatenate([
@@ -121,67 +131,150 @@ def conjunctive_docids(
         spark, blocks, kernel, "shard int, docID long", meta.num_shards)
 
 
-def phrase_scores(
-    docs: DataFrame,
-    phrase: str,
+def positional_matches(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    field: str = "text",
+    blocks_df: DataFrame | None = None,
+    meta=None,
+) -> DataFrame:
+    """DataFrame(shard, docID, tf, doclen) of SLIDING phrase matches,
+    answered entirely from the positional index (no corpus access).
+
+    Per shard: decode the phrase terms' postings + position streams, AND
+    the docIDs, then intersect (doc, position - i) key sets across the
+    sequence — the vectorized form of Lucene's ExactPhraseMatcher advance
+    loop. tf counts every match position (self-overlapping included). All
+    numpy: the per-doc loop Lucene runs is replaced by one sorted-array
+    intersection per phrase term over composite int64 keys."""
+    if not terms:
+        return spark.createDataFrame(
+            [], "shard int, docID long, tf long, doclen long")
+    meta = meta or read_meta(index_dir)
+    if not getattr(meta, "with_positions", False):
+        raise ValueError(
+            f"index {index_dir} was built with_positions=False — the "
+            "positional phrase path needs the positions stream; use the "
+            "corpus-verify path (phrase_topk mode='verify') or rebuild")
+    uniq = sorted(set(terms))
+    src = (blocks_df if blocks_df is not None
+           else spark.read.parquet(f"{index_dir}/blocks"))
+    blocks = src.filter(
+        (F.col("field") == field) & F.col("term").isin(uniq)
+    ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
+             "positions")
+    n_required = len(uniq)
+    seq = list(terms)
+
+    def kernel(bl: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "shard": pd.Series(dtype="int32"),
+            "docID": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64"),
+            "doclen": pd.Series(dtype="int64")})
+        bl = _pre_intersect_blocks(bl, n_required)
+        if bl is None:
+            return empty
+        shard = int(bl["shard"].iloc[0])
+        # decode per term: posting docIDs/doclens + flat positions with
+        # per-posting offsets (block streams concatenate in block_seq order,
+        # so everything stays docID-sorted)
+        per = {}
+        for term, grp in bl.groupby("term", sort=False):
+            ids_l, dls_l, tfs_l, flat_l = [], [], [], []
+            for d, t, ln, pz in zip(grp["docids"], grp["tfs"],
+                                    grp["doclens"], grp["positions"]):
+                ids, tfs, dls = decode_block(bytes(d), bytes(t), bytes(ln))
+                flat, _ = decode_positions(bytes(pz), tfs)
+                if len(flat) != int(tfs.sum()):
+                    raise ValueError(
+                        "positions stream inconsistent with tfs — index "
+                        "corrupt or built without positions")
+                ids_l.append(ids.astype(np.int64))
+                dls_l.append(dls.astype(np.int64))
+                tfs_l.append(tfs.astype(np.int64))
+                flat_l.append(flat.astype(np.int64))
+            per[term] = (
+                np.concatenate(ids_l), np.concatenate(dls_l),
+                np.concatenate(tfs_l), np.concatenate(flat_l))
+
+        # docID AND across unique terms (smallest first)
+        ordered = sorted(uniq, key=lambda t: len(per[t][0]))
+        cand = per[ordered[0]][0]
+        for t in ordered[1:]:
+            if not len(cand):
+                return empty
+            cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+        if not len(cand):
+            return empty
+
+        # sliding-match keys: for sequence slot i, (doc_rank << 32) |
+        # (pos - i); the phrase's match positions are the intersection of
+        # every slot's key set. doc_rank (dense index into cand) keeps the
+        # composite key inside int64 regardless of global docID width.
+        running = None
+        for i, t in enumerate(seq):
+            ids, _, tfs, flat = per[t]
+            mask = np.isin(ids, cand, assume_unique=True)
+            sel = np.flatnonzero(mask)
+            lens = tfs[sel]
+            offs = np.concatenate(([0], np.cumsum(tfs)))[sel]
+            total = int(lens.sum())
+            out_starts = np.concatenate(([0], np.cumsum(lens)[:-1])) \
+                if len(lens) else np.array([], dtype=np.int64)
+            gidx = (np.repeat(offs - out_starts, lens)
+                    + np.arange(total)) if total else \
+                np.array([], dtype=np.int64)
+            pos = flat[gidx] - i
+            ranks = np.searchsorted(cand, ids[sel])
+            valid = pos >= 0  # a slot-i term before position i can't match
+            keys = ((np.repeat(ranks, lens)[valid] << np.int64(32))
+                    | pos[valid])
+            # already sorted: ranks are non-decreasing (ids sorted), and
+            # within a doc a term has ONE posting with ascending positions
+            running = keys if running is None else \
+                np.intersect1d(running, keys, assume_unique=True)
+            if not len(running):
+                return empty
+
+        doc_rank = (running >> np.int64(32)).astype(np.int64)
+        tf = np.bincount(doc_rank, minlength=len(cand))
+        hit = np.flatnonzero(tf)
+        # doclen per doc from any term's postings (denormalized in-block)
+        ids0, dls0, _, _ = per[ordered[0]]
+        dl_map_idx = np.searchsorted(ids0, cand[hit])
+        return pd.DataFrame({
+            "shard": np.full(len(hit), shard, dtype="int32"),
+            "docID": cand[hit],
+            "tf": tf[hit].astype(np.int64),
+            "doclen": dls0[dl_map_idx].astype(np.int64)})
+
+    from liresolr_spark.operators.wand import _run_shard_kernel
+
+    return _run_shard_kernel(
+        spark, blocks, kernel,
+        "shard int, docID long, tf long, doclen long", meta.num_shards)
+
+
+def _score_phrase_matches(
+    matched: DataFrame,
     n_docs: int,
     avgdl: float,
     k1: float,
     b: float,
-    content_col: str = "content",
-    doclen_col: Column | None = None,
     cache_out: list | None = None,
 ) -> DataFrame:
-    """Append exact phrase-BM25 columns to `docs`: tf (phrase frequency,
-    rows with tf=0 dropped) and score. df is the verified match count,
-    computed INSIDE the plan (1-row aggregate cross-joined back — no second
-    action). Index-free callers pass the corpus itself; the index path
-    passes the candidate set (the df is identical either way because
-    candidates ⊇ matches).
+    """BM25-score a phrase match set (needs `tf` and `_dl` columns): df is
+    the match count, computed INSIDE the plan (1-row aggregate cross-joined
+    back — no second action).
 
     cache_out: the matched set has TWO consumers (scoring and the df
     aggregate) and Catalyst cannot reuse the subtree between them — without
-    a cache the whole verify pipeline (block scan, intersection kernel,
-    corpus join, tokenize) runs twice (seen in .explain: duplicated
-    subtrees under both BroadcastExchanges). Pass a list and the matched
-    relation — persisted NARROW, content dropped after tf is computed — is
-    appended to it; release after the consuming action
-    (operators.bm25.materialize_and_release does both). cache_out=None is
-    the leak-proof double-pass default, same contract as
-    bm25_scores_all."""
-    terms = py_tokenize(phrase)
-    if not terms:
-        return docs.filter(F.lit(False)).withColumn(
-            "tf", F.lit(0).cast("long")).withColumn("score", F.lit(0.0))
-    # STAGED projections (the CollapseProject lesson from ops/clean.py's
-    # quality gate): inlining the tf expression into filter + score
-    # re-evaluates tokenize + array_join + replace once per reference —
-    # measured 12.0s vs 4.9s staged on a 20k-doc hot phrase at local[32].
-    # Stage 1 materializes the token array once; stage 2 the joined string
-    # (non-cheap, multiply-referenced aliases — exactly the condition under
-    # which the optimizer preserves the projection split); the match filter
-    # is a single `contains` scan (tf >= 1 ⟺ contains), and the tf replace
-    # pass runs only over the surviving rows.
-    needle = " " + " ".join(terms) + " "
-    passthrough = [c for c in docs.columns if c != content_col]
-    toked = docs.select(
-        *passthrough, tokenize_expr(F.col(content_col)).alias("_toks"))
-    staged = toked.select(
-        *passthrough,
-        (doclen_col if doclen_col is not None
-         else F.size("_toks")).cast("double").alias("_dl"),
-        F.concat(F.lit(" "), F.array_join("_toks", " "),
-                 F.lit(" ")).alias("_js"),
-    )
-    tf = (
-        (F.length("_js")
-         - F.length(F.replace(F.col("_js"), F.lit(needle), F.lit(""))))
-        / F.length(F.lit(needle))
-    ).cast("long")
-    matched = (
-        staged.filter(F.col("_js").contains(needle))
-        .select(*passthrough, F.col("_dl"), tf.alias("tf"))
-    )
+    a cache the whole upstream pipeline runs twice. Pass a list and the
+    matched relation is persisted and appended to it; release after the
+    consuming action (operators.bm25.materialize_and_release). None is the
+    leak-proof double-pass default, same contract as bm25_scores_all."""
     if cache_out is not None:
         matched = matched.persist()
         cache_out.append(matched)
@@ -199,10 +292,70 @@ def phrase_scores(
     )
 
 
+def phrase_scores(
+    docs: DataFrame,
+    phrase: str,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    content_col: str = "content",
+    doclen_col: Column | None = None,
+    cache_out: list | None = None,
+) -> DataFrame:
+    """Append exact phrase-BM25 columns to `docs`: tf (non-overlapping
+    phrase frequency, rows with tf=0 dropped) and score — the INDEX-FREE /
+    verify-stage string kernel. Index-free callers pass the corpus itself;
+    the index verify path passes the candidate set (the df is identical
+    either way because candidates ⊇ matches). cache_out: see
+    _score_phrase_matches."""
+    terms = py_tokenize(phrase)
+    if not terms:
+        return docs.filter(F.lit(False)).withColumn(
+            "tf", F.lit(0).cast("long")).withColumn("score", F.lit(0.0))
+    # STAGED projections (the CollapseProject lesson from ops/clean.py's
+    # quality gate): inlining the tf expression into filter + score
+    # re-evaluates tokenize + array_join + replace once per reference —
+    # measured 12.0s vs 4.9s staged on a 20k-doc hot phrase at local[32].
+    # Stage 1 materializes the token array once; stage 2 the joined string
+    # (non-cheap, multiply-referenced aliases — exactly the condition under
+    # which the optimizer preserves the projection split); the match filter
+    # is a single `contains` scan (tf >= 1 ⟺ contains), and the tf replace
+    # pass runs only over the surviving rows.
+    # DOUBLE-space join: tokens separated by two spaces, needle wrapped in
+    # single spaces. Adjacent phrase repetitions then leave one boundary
+    # space each ("a b a b" -> "␣a␣␣b␣" twice), so the non-overlapping
+    # string count equals the maximal non-overlapping count in TOKEN
+    # domain — with a single-space join, back-to-back repeats shared the
+    # boundary space and were undercounted (found by the positional-parity
+    # test on the phrase "return def").
+    needle = " " + "  ".join(terms) + " "
+    passthrough = [c for c in docs.columns if c != content_col]
+    toked = docs.select(
+        *passthrough, tokenize_expr(F.col(content_col)).alias("_toks"))
+    staged = toked.select(
+        *passthrough,
+        (doclen_col if doclen_col is not None
+         else F.size("_toks")).cast("double").alias("_dl"),
+        F.concat(F.lit(" "), F.array_join("_toks", "  "),
+                 F.lit(" ")).alias("_js"),
+    )
+    tf = (
+        (F.length("_js")
+         - F.length(F.replace(F.col("_js"), F.lit(needle), F.lit(""))))
+        / F.length(F.lit(needle))
+    ).cast("long")
+    matched = (
+        staged.filter(F.col("_js").contains(needle))
+        .select(*passthrough, F.col("_dl"), tf.alias("tf"))
+    )
+    return _score_phrase_matches(matched, n_docs, avgdl, k1, b, cache_out)
+
+
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     phrase: str,
     k: int = 60,
     field: str = "text",
@@ -212,46 +365,71 @@ def phrase_topk(
     allow_docids: DataFrame | None = None,
     deny_docids: DataFrame | None = None,
     cache_out: list | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Exact phrase top-k through the index: DataFrame(docID, score), the
-    verified phrase matches ranked by phrase-BM25 (score DESC, docID ASC).
+    phrase matches ranked by phrase-BM25 (score DESC, docID ASC).
 
-    corpus: the indexed source (NATURAL_KEY + content) — the verify stage
-    reads content from here; the index stores only sha256 (see module
-    docstring). allow_docids / deny_docids: the same (shard, docID)
-    restriction frames as wand_topk (fq pushdown / tombstones), applied to
-    the candidate set before any content is touched. cache_out: see
-    phrase_scores — without it the verify pipeline runs twice (once for
-    scores, once for the phrase df)."""
+    mode: 'auto' uses the positional path when the index carries positions
+    (corpus may then be None), else the two-stage verify; 'positions' /
+    'verify' force one path ('verify' requires `corpus`; the two differ
+    only on self-overlapping phrases — see module docstring).
+
+    allow_docids / deny_docids: the same (shard, docID) restriction frames
+    as wand_topk (fq pushdown / tombstones), applied to the match/candidate
+    set BEFORE the df aggregate (a filtered phrase query scores under the
+    filter, consistent across both paths). cache_out: see
+    _score_phrase_matches — without it the match pipeline runs twice."""
     terms = py_tokenize(phrase)
     if not terms:
         return spark.createDataFrame([], "docID long, score double")
     meta = meta or read_meta(index_dir)
-    cand = conjunctive_docids(spark, index_dir, terms, field=field,
-                              blocks_df=blocks_df, meta=meta)
-    if allow_docids is not None:
-        cand = cand.join(allow_docids.select("shard", "docID"),
-                         ["shard", "docID"])
-    if deny_docids is not None:
-        cand = cand.join(deny_docids.select("shard", "docID"),
-                         ["shard", "docID"], "left_anti")
-    stats = spark.read.parquet(f"{index_dir}/docstats").select(
-        "shard", "docID", "doclen", "sha256", *NATURAL_KEY)
-    # the sha256 equality pin (the north-rule per-row invariant, stored in
-    # docstats at build time) keeps the verify honest under duplicate
-    # natural keys in the corpus: the build keeps one winner per key
-    # (assign_doc_ids dedup), and without the pin the content join could
-    # fan out to — and verify against — a LOSING duplicate's content
-    keyed = (
-        cand.join(stats, ["shard", "docID"])
-        .join(corpus.select(*NATURAL_KEY, content_col), NATURAL_KEY)
-        .filter(F.sha2(F.col(content_col), 256) == F.col("sha256"))
-        .drop("sha256")
-    )
-    scored = phrase_scores(
-        keyed, phrase, meta.n_docs, meta.avgdl, meta.k1, meta.b,
-        content_col=content_col, doclen_col=F.col("doclen"),
-        cache_out=cache_out)
+    positional = getattr(meta, "with_positions", False) \
+        if mode == "auto" else (mode == "positions")
+
+    if positional:
+        matched = positional_matches(spark, index_dir, terms, field=field,
+                                     blocks_df=blocks_df, meta=meta)
+        if allow_docids is not None:
+            matched = matched.join(allow_docids.select("shard", "docID"),
+                                   ["shard", "docID"])
+        if deny_docids is not None:
+            matched = matched.join(deny_docids.select("shard", "docID"),
+                                   ["shard", "docID"], "left_anti")
+        scored = _score_phrase_matches(
+            matched.withColumn("_dl", F.col("doclen").cast("double")),
+            meta.n_docs, meta.avgdl, meta.k1, meta.b, cache_out)
+    else:
+        if corpus is None:
+            raise ValueError(
+                "phrase_topk verify path needs the corpus DataFrame (the "
+                "index stores sha256, not content); build the index "
+                "with_positions=True for corpus-free phrase queries")
+        cand = conjunctive_docids(spark, index_dir, terms, field=field,
+                                  blocks_df=blocks_df, meta=meta)
+        if allow_docids is not None:
+            cand = cand.join(allow_docids.select("shard", "docID"),
+                             ["shard", "docID"])
+        if deny_docids is not None:
+            cand = cand.join(deny_docids.select("shard", "docID"),
+                             ["shard", "docID"], "left_anti")
+        stats = spark.read.parquet(f"{index_dir}/docstats").select(
+            "shard", "docID", "doclen", "sha256", *NATURAL_KEY)
+        # the sha256 equality pin (the north-rule per-row invariant, stored
+        # in docstats at build time) keeps the verify honest under duplicate
+        # natural keys in the corpus: the build keeps one winner per key
+        # (assign_doc_ids dedup), and without the pin the content join could
+        # fan out to — and verify against — a LOSING duplicate's content
+        keyed = (
+            cand.join(stats, ["shard", "docID"])
+            .join(corpus.select(*NATURAL_KEY, content_col), NATURAL_KEY)
+            .filter(F.sha2(F.col(content_col), 256) == F.col("sha256"))
+            .drop("sha256")
+        )
+        scored = phrase_scores(
+            keyed, phrase, meta.n_docs, meta.avgdl, meta.k1, meta.b,
+            content_col=content_col, doclen_col=F.col("doclen"),
+            cache_out=cache_out)
     return (
         scored.select("docID", "score")
         .orderBy(F.desc("score"), F.asc("docID"))

@@ -61,7 +61,8 @@ from liresolr_spark.sources.corpus import assign_doc_ids
 BLOCK_SCHEMA = (
     "shard int, field string, term string, block_seq int, count int, "
     "first_docid long, last_docid long, docids binary, tfs binary, "
-    "doclens binary, max_tf_norm double, max_tf long, min_dl long"
+    "doclens binary, positions binary, max_tf_norm double, max_tf long, "
+    "min_dl long"
 )
 
 NATURAL_KEY = ["repo", "path", "commit"]
@@ -96,6 +97,11 @@ class IndexMeta:
     # meta updated but the epoch unrecorded (which would double-append on
     # the foreachBatch retry)
     applied_epochs: list | None = None
+    # positional index (Lucene .pos analog): blocks carry a 4th stream —
+    # per posting, within-doc token positions delta-gapped + varint'd.
+    # Appends read this flag so every segment agrees; phrase queries use it
+    # to skip the corpus-verify stage entirely (operators/phrase.py)
+    with_positions: bool = False
 
 
 def _paths(index_dir: str) -> dict:
@@ -206,11 +212,42 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         codes = rank[raw_codes]
         terms_u = dict_strings[sort_perm]
         doc_ids = tbl.column("docID").to_numpy().astype(np.int64)
-        order = np.lexsort((doc_ids, codes))
-        codes = codes[order]
-        doc_ids = doc_ids[order].astype(np.uint64)
-        tfs = tbl.column("tf").to_numpy()[order].astype(np.uint64)
-        dls = tbl.column("doclen").to_numpy()[order].astype(np.float64)
+        flat_positions = None       # set by the occurrence path below
+        posting_flat_starts = None
+        order = None                # per-posting input order (agg paths)
+        if "pos" in tbl.column_names:
+            pos_np = pc.fill_null(tbl.column("pos").combine_chunks(), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            has_pos = bool((pos_np >= 0).any())
+        else:
+            has_pos = False
+        if has_pos:
+            # OCCURRENCE rows (positional build, lexical family only): one
+            # row per token occurrence, NO upstream (term,docID) aggregate
+            # — tf and the position stream both fall out of a single
+            # lexsort here. The hash family arrives PRE-AGGREGATED in the
+            # same union (it carries no positions, and shipping its ~2x
+            # occurrence volume through the shuffle measured +50%% blocks-
+            # stage wall for nothing), so a group is either all-occurrence
+            # (text) or all-aggregated (ha) — never mixed, field is in the
+            # group key.
+            o = np.lexsort((pos_np, doc_ids, codes))
+            codes_o, ids_o, pos_o = codes[o], doc_ids[o], pos_np[o]
+            dls_o = tbl.column("doclen").to_numpy()[o]
+            brk_p = (codes_o[1:] != codes_o[:-1]) | (ids_o[1:] != ids_o[:-1])
+            pstart = np.flatnonzero(np.concatenate(([True], brk_p)))
+            tfs = np.diff(np.append(pstart, len(codes_o))).astype(np.uint64)
+            codes = codes_o[pstart]
+            doc_ids = ids_o[pstart].astype(np.uint64)
+            dls = dls_o[pstart].astype(np.float64)
+            flat_positions = pos_o.astype(np.uint64)
+            posting_flat_starts = pstart
+        else:
+            order = np.lexsort((doc_ids, codes))
+            codes = codes[order]
+            doc_ids = doc_ids[order].astype(np.uint64)
+            tfs = tbl.column("tf").to_numpy()[order].astype(np.uint64)
+            dls = tbl.column("doclen").to_numpy()[order].astype(np.float64)
         tf_f = tfs.astype(np.float64)
         norm = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
         # block boundary wherever the term or the aligned docID range changes
@@ -240,6 +277,25 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
         min_dl = np.minimum.reduceat(dls, starts).astype(np.int64)
 
         nblocks = len(starts)
+        # positions stream (Lucene .pos analog), three input forms:
+        #  - occurrence rows (positional build, handled above): the sorted
+        #    pos column IS the flat stream, already posting-aligned
+        #  - binary column (compaction path): per-posting PRE-ENCODED slices
+        #    (codec.positions_byte_slices) — self-contained streams, so the
+        #    remapped block is a zero-recode byte concatenation
+        #  - absent / all-empty (ha family, positionless index): b"" blocks
+        p_slices = [b""] * nblocks
+        if flat_positions is not None:
+            deltas = delta_encode_blocked(flat_positions,
+                                          posting_flat_starts)
+            post_flat = np.append(posting_flat_starts, len(flat_positions))
+            p_slices = varint_encode_slices(deltas, post_flat[bounds])
+        elif "positions" in tbl.column_names:
+            pos_col = tbl.column("positions").combine_chunks()
+            pos_np = np.asarray(pos_col.to_pylist(), dtype=object)[order]
+            p_slices = [
+                b"".join(x or b"" for x in pos_np[s:e])
+                for s, e in zip(bounds[:-1], bounds[1:])]
         return pa.table(
             {
                 "shard": pa.array(np.full(nblocks, int(shard), dtype=np.int32),
@@ -257,6 +313,7 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
                 "docids": pa.array(d_slices, type=pa.binary()),
                 "tfs": pa.array(t_slices, type=pa.binary()),
                 "doclens": pa.array(l_slices, type=pa.binary()),
+                "positions": pa.array(p_slices, type=pa.binary()),
                 "max_tf_norm": pa.array(max_norm, type=pa.float64()),
                 "max_tf": pa.array(max_tf, type=pa.int64()),
                 "min_dl": pa.array(min_dl, type=pa.int64()),
@@ -266,8 +323,10 @@ def _block_builder(block_size: int, k1: float, b: float, avgdl: float):
     return build
 
 
-def exploded_terms(docs: DataFrame, with_hash_tokens: bool) -> DataFrame:
-    """docs(docID, shard, doclen, tokens) -> (docID, shard, doclen, field, term).
+def exploded_terms(docs: DataFrame, with_hash_tokens: bool,
+                   with_positions: bool = False) -> DataFrame:
+    """docs(docID, shard, doclen, tokens) -> (docID, shard, doclen, field,
+    term[, pos]).
 
     Emits the lexical family and (optionally) the liresolr hash-token family,
     all with built-in expressions (no Python). The hash family is derived
@@ -275,22 +334,67 @@ def exploded_terms(docs: DataFrame, with_hash_tokens: bool) -> DataFrame:
     rows — array higher-order functions (transform/concat-of-structs) are
     interpreted CodegenFallback and were a measured 2x drag on the postings
     stage at 10^8 tokens; explode + union of two codegen'd projections keeps
-    the whole path in whole-stage codegen."""
-    lex = docs.select(
-        "docID", "shard", "doclen",
-        F.explode("tokens").alias("tok"),
-    )
+    the whole path in whole-stage codegen.
+
+    with_positions=True adds the 0-based within-doc token index as `pos` —
+    NULL on the hash-family rows (positions are a lexical-field feature;
+    collect_list downstream skips NULLs, so ha postings aggregate an empty
+    position list at zero storage cost)."""
+    if with_positions:
+        lex = docs.select(
+            "docID", "shard", "doclen",
+            F.posexplode("tokens").alias("pos", "tok"),
+        )
+        pos_text = [F.col("pos").cast("int").alias("pos")]
+        pos_ha = [F.lit(None).cast("int").alias("pos")]
+    else:
+        lex = docs.select(
+            "docID", "shard", "doclen",
+            F.explode("tokens").alias("tok"),
+        )
+        pos_text = pos_ha = []
     text_rows = lex.select(
         "docID", "shard", "doclen",
-        F.lit("text").alias("field"), F.col("tok").alias("term"))
+        F.lit("text").alias("field"), F.col("tok").alias("term"), *pos_text)
     if not with_hash_tokens:
         return text_rows
     # scalar twin of hash_tokens_expr (substring(md5(token), 1, 8))
     ha_rows = lex.select(
         "docID", "shard", "doclen",
         F.lit("ha").alias("field"),
-        F.substring(F.md5("tok"), 1, 8).alias("term"))
+        F.substring(F.md5("tok"), 1, 8).alias("term"), *pos_ha)
     return text_rows.unionAll(ha_rows)
+
+
+def tf_aggregate(exploded: DataFrame) -> DataFrame:
+    """(shard, field, term, docID) -> tf: the postings aggregate of the
+    POSITIONLESS build/append path — a pure count, map-side combinable.
+
+    The positional path deliberately has no aggregate: occurrence rows go
+    straight to the block kernel, where tf and the position stream both
+    fall out of one lexsort (a collect_list+sort_array aggregate here
+    measured ~3x slower — per-posting JVM array buffers — and added a
+    whole shuffle stage)."""
+    return exploded.groupBy("shard", "field", "term", "docID").agg(
+        F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+
+
+def positional_postings_input(exploded: DataFrame) -> DataFrame:
+    """Positional-build feed for the block kernel: lexical OCCURRENCE rows
+    unioned with PRE-AGGREGATED hash-family rows.
+
+    The ha family carries no positions, so shipping its occurrence volume
+    through the blocks shuffle bought nothing (measured +50%% blocks-stage
+    wall); aggregating it first restores the positionless volume for that
+    half. Schema: (docID, shard, doclen, field, term, pos, tf) with tf NULL
+    on occurrence rows and pos NULL on aggregated rows — the kernel
+    branches per group, and a group is never mixed (field is in the group
+    key)."""
+    text = exploded.filter(F.col("field") == "text").withColumn(
+        "tf", F.lit(None).cast("long"))
+    ha = tf_aggregate(exploded.filter(F.col("field") == "ha")).withColumn(
+        "pos", F.lit(None).cast("int"))
+    return text.unionByName(ha)
 
 
 def build_index(
@@ -300,6 +404,7 @@ def build_index(
     block_size: int = 128,
     resume: bool = True,
     with_hash_tokens: bool = True,
+    with_positions: bool = False,
     shard_waves: int = 1,
     max_waves: int | None = None,
     group_salts: int | None = None,
@@ -395,6 +500,9 @@ def build_index(
     avgdl = total_doclen / n_docs if n_docs else 0.0
     if group_salts is None:
         # adaptive: tf rows per (shard, field) group <= tokens per shard
+        # positional builds feed one kernel row per LEXICAL token
+        # occurrence (~total_doclen rows), positionless ones at most that
+        # many aggregated postings — the same bound either way
         per_group = total_doclen / max(num_shards, 1)
         group_salts = max(1, int(-(-per_group // TARGET_GROUP_ROWS)))
     metrics["group_salts"] = group_salts
@@ -419,10 +527,11 @@ def build_index(
             docstats.write.mode("append").partitionBy("shard").parquet(p["docstats"])
 
         with stage("postings_tf"):
-            exploded = exploded_terms(wave, with_hash_tokens)
-            tf = exploded.groupBy("shard", "field", "term", "docID").agg(
-                F.count("*").alias("tf"), F.first("doclen").alias("doclen")
-            )
+            exploded = exploded_terms(wave, with_hash_tokens, with_positions)
+            # positional: lexical occurrence rows straight to the kernel,
+            # ha pre-aggregated (see positional_postings_input)
+            tf = (positional_postings_input(exploded) if with_positions
+                  else tf_aggregate(exploded))
 
         with stage("blocks"):
             # group per (shard, field, term-hash salt): bounded groups, each
@@ -486,6 +595,7 @@ def build_index(
             hash_version=HASH_VERSION, k1=BM25_K1, b=BM25_B,
             format_version=INDEX_FORMAT_VERSION,
             total_doclen=total_doclen, next_docid=n_docs,
+            with_positions=with_positions,
             applied_epochs=(sorted(applied_epochs)
                             if applied_epochs is not None else None),
         )

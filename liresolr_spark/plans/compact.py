@@ -53,7 +53,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from liresolr_spark import BM25_B, BM25_K1
+from liresolr_spark import BM25_B, BM25_K1, INDEX_FORMAT_VERSION
 from liresolr_spark.plans.build import (
     BLOCK_SCHEMA,
     TARGET_GROUP_ROWS,
@@ -66,23 +66,30 @@ from liresolr_spark.plans.build import (
 )
 
 
-def _decoded_postings(blocks_df):
-    """blocks -> (field, term, docID, tf, doclen) rows, vectorized decode.
+def _decoded_postings(blocks_df, with_positions: bool = False):
+    """blocks -> (field, term, docID, tf, doclen[, positions]) rows,
+    vectorized decode.
 
     One Arrow batch of block rows expands to its postings with numpy
     concatenation + np.repeat for the term column — no per-posting Python.
-    """
+
+    with_positions=True carries each posting's positions as its PRE-ENCODED
+    byte slice (codec.positions_byte_slices): positions are delta-gapped
+    within the posting, so the slice is docID-independent and the rebuild
+    kernel re-concatenates slices into valid blocks with zero recoding —
+    a docID remap never touches position bytes."""
     import pandas as pd
 
-    from liresolr_spark.functions.codec import decode_block
+    from liresolr_spark.functions.codec import decode_block, positions_byte_slices
 
     def explode(batches):
         for pdf in batches:
-            ids_l, tfs_l, dls_l, terms_l, fields_l = [], [], [], [], []
-            for field, term, d, t, ln in zip(
+            ids_l, tfs_l, dls_l, terms_l, fields_l, pos_l = \
+                [], [], [], [], [], []
+            for i, (field, term, d, t, ln) in enumerate(zip(
                 pdf["field"], pdf["term"], pdf["docids"], pdf["tfs"],
                 pdf["doclens"],
-            ):
+            )):
                 ids, tfs, dls = decode_block(bytes(d), bytes(t), bytes(ln))
                 n = len(ids)
                 ids_l.append(ids.astype(np.int64))
@@ -90,26 +97,39 @@ def _decoded_postings(blocks_df):
                 dls_l.append(dls.astype(np.int64))
                 terms_l.append(np.repeat(term, n))
                 fields_l.append(np.repeat(field, n))
+                if with_positions:
+                    pb = bytes(pdf["positions"].iloc[i])
+                    pos_l.append(
+                        positions_byte_slices(pb, tfs) if pb
+                        else [b""] * n)
+            cols = {
+                "field": pd.Series(dtype="object"),
+                "term": pd.Series(dtype="object"),
+                "docID": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+                "doclen": pd.Series(dtype="int64")}
+            if with_positions:
+                cols["positions"] = pd.Series(dtype="object")
             if not ids_l:
-                yield pd.DataFrame({
-                    "field": pd.Series(dtype="object"),
-                    "term": pd.Series(dtype="object"),
-                    "docID": pd.Series(dtype="int64"),
-                    "tf": pd.Series(dtype="int64"),
-                    "doclen": pd.Series(dtype="int64")})
+                yield pd.DataFrame(cols)
                 continue
-            yield pd.DataFrame({
+            out = {
                 "field": np.concatenate(fields_l),
                 "term": np.concatenate(terms_l),
                 "docID": np.concatenate(ids_l),
                 "tf": np.concatenate(tfs_l),
                 "doclen": np.concatenate(dls_l),
-            })
+            }
+            if with_positions:
+                out["positions"] = np.asarray(
+                    [b for blk in pos_l for b in blk], dtype=object)
+            yield pd.DataFrame(out)
 
-    return blocks_df.select("field", "term", "docids", "tfs", "doclens") \
-        .mapInPandas(explode,
-                     schema="field string, term string, docID long, "
-                            "tf long, doclen long")
+    schema = ("field string, term string, docID long, tf long, doclen long"
+              + (", positions binary" if with_positions else ""))
+    cols = ["field", "term", "docids", "tfs", "doclens"] \
+        + (["positions"] if with_positions else [])
+    return blocks_df.select(*cols).mapInPandas(explode, schema=schema)
 
 
 def compact_index(
@@ -178,14 +198,18 @@ def compact_index(
         .parquet(p_out["docstats"])
 
     # postings: decode -> remap docIDs -> rebuild blocks under the new avgdl
-    postings = _decoded_postings(spark.read.parquet(p_in["blocks"]))
+    # (positions ride as pre-encoded per-posting byte slices — see
+    # _decoded_postings — so the remap never recodes them)
+    pos_cols = ["positions"] if meta.with_positions else []
+    postings = _decoded_postings(spark.read.parquet(p_in["blocks"]),
+                                 with_positions=meta.with_positions)
     id_map = mapped.select(
         F.col("old_docID").alias("docID"),
         F.col("docID").alias("new_docID"), "shard")
     remapped = (
         postings.join(id_map, "docID")  # inner join drops tombstoned postings
         .select("shard", "field", "term",
-                F.col("new_docID").alias("docID"), "tf", "doclen")
+                F.col("new_docID").alias("docID"), "tf", "doclen", *pos_cols)
     )
 
     if group_salts is None:
@@ -228,11 +252,16 @@ def compact_index(
         n_docs=n_docs, avgdl=avgdl, num_shards=n_shards,
         docs_per_shard=docs_per_shard, block_size=blk,
         hash_version=meta.hash_version, k1=meta.k1, b=meta.b,
-        format_version=meta.format_version, total_doclen=total_doclen,
+        # a full rewrite re-encodes every block in the CURRENT layout, so
+        # it stamps the current version — the upgrade path for old indexes
+        # (appends and partial merges refuse cross-version work instead,
+        # since they would mix block layouts inside one parquet dir)
+        format_version=INDEX_FORMAT_VERSION, total_doclen=total_doclen,
         next_docid=n_docs,  # full compaction renumbers densely
         # epoch ledger survives: a checkpointed ingest resumed after
         # compaction must still skip already-applied epochs
         applied_epochs=meta.applied_epochs,
+        with_positions=meta.with_positions,
     )
     write_meta(out, new_meta)  # the new index's commit point
 
@@ -338,6 +367,12 @@ def compact_segments(
 
     t0 = time.time()
     meta = read_meta(index_dir)
+    if meta.format_version != INDEX_FORMAT_VERSION:
+        raise RuntimeError(
+            f"index format v{meta.format_version} != current "
+            f"v{INDEX_FORMAT_VERSION}: a partial merge would mix block "
+            "layouts in one parquet dir — run compact_index (full rewrite) "
+            "to upgrade first")
     p = _paths(index_dir)
     segs = _segments(spark, index_dir)
     appended = [s for s in segs if s[0] != segs[0][0]]
@@ -409,6 +444,7 @@ def compact_segments(
         next_docid=(meta.next_docid if meta.next_docid is not None
                     else meta.n_docs),
         applied_epochs=meta.applied_epochs,
+        with_positions=meta.with_positions,
     )
 
     # ---- phase 1: marker with the full recovery payload -------------------
@@ -448,9 +484,11 @@ def compact_segments(
     shard_of = new_map.select("docID", "shard")
     merged_blocks = spark.read.parquet(p["blocks"]).filter(
         F.col("shard").isin(merge_shards))
-    postings = _decoded_postings(merged_blocks)
+    pos_cols = ["positions"] if meta.with_positions else []
+    postings = _decoded_postings(merged_blocks,
+                                 with_positions=meta.with_positions)
     remapped = postings.join(shard_of, "docID").select(
-        "shard", "field", "term", "docID", "tf", "doclen")
+        "shard", "field", "term", "docID", "tf", "doclen", *pos_cols)
 
     group_salts = max(1, int(-(-(live_doclen / max(new_shards, 1))
                                // TARGET_GROUP_ROWS)))

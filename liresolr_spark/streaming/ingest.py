@@ -87,6 +87,7 @@ def append_segment(
     epoch_id: int | None = None,
     num_shards: int | None = None,
     block_size: int | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """Append one batch of corpus rows as new shards of an existing index.
 
@@ -94,6 +95,10 @@ def append_segment(
     per-append metrics dict. Idempotent per epoch_id: a retried micro-batch
     (foreachBatch at-least-once contract) is skipped if its epoch committed,
     and a half-written attempt's shard dirs are cleaned before re-writing.
+
+    with_positions applies to the FIRST build only; appended segments
+    always follow the existing meta flag so every segment agrees (a mixed
+    index would silently lose phrase coverage on some segments).
     """
     # WITHIN-batch overwrite: two versions of the same UNIQUE_KEY (repo,
     # path) arriving in one micro-batch resolve to a single winner BEFORE
@@ -120,6 +125,7 @@ def append_segment(
             batch, index_dir,
             num_shards=num_shards or 8,
             block_size=block_size or 128,
+            with_positions=with_positions,
             applied_epochs=[epoch_id] if epoch_id is not None else None)
 
     if epoch_id is not None and epoch_id in _applied_epochs(index_dir):
@@ -127,6 +133,14 @@ def append_segment(
 
     spark = batch.sparkSession
     meta = read_meta(index_dir)
+    from liresolr_spark import INDEX_FORMAT_VERSION
+
+    if meta.format_version != INDEX_FORMAT_VERSION:
+        raise RuntimeError(
+            f"index format v{meta.format_version} != current "
+            f"v{INDEX_FORMAT_VERSION}: an append would mix block layouts "
+            "in one parquet dir — run plans.compact.compact_index (full "
+            "rewrite) to upgrade first")
     # allocator, not count: after a partial compaction n_docs < max docID+1
     base_docid = meta.next_docid if meta.next_docid is not None else meta.n_docs
     base_shard = meta.num_shards
@@ -204,11 +218,15 @@ def append_segment(
     n_tombs = load_tombstones(spark, index_dir).filter(
         F.col("seg") == base_shard).count()
 
-    from liresolr_spark.plans.build import exploded_terms
+    from liresolr_spark.plans.build import (
+        exploded_terms, positional_postings_input, tf_aggregate)
 
-    exploded = exploded_terms(docs, with_hash_tokens=True)
-    tf = exploded.groupBy("shard", "field", "term", "docID").agg(
-        F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+    exploded = exploded_terms(docs, with_hash_tokens=True,
+                              with_positions=meta.with_positions)
+    # positional: lexical occurrence rows straight to the kernel, ha
+    # pre-aggregated (see plans.build.positional_postings_input)
+    tf = (positional_postings_input(exploded) if meta.with_positions
+          else tf_aggregate(exploded))
     builder = _block_builder(meta.block_size, BM25_K1, BM25_B, new_avgdl)
     # same adaptive within-shard term-hash salt as the batch build: bounds
     # one Arrow group's postings regardless of segment size (see

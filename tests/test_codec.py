@@ -113,3 +113,41 @@ def test_tokenizer_goldens():
     # idempotence on already-split output
     toks = py_tokenize("fooBar_bazQux")
     assert py_tokenize(" ".join(toks)) == toks
+
+
+def test_positions_roundtrip_and_byte_slices():
+    """Positions stream (Lucene .pos layout): delta-within-posting + varint,
+    split by tfs. Property: encode -> decode roundtrip, and per-posting
+    byte slices re-concatenate into valid streams in ANY posting order (the
+    zero-recode property compaction's docID remap relies on)."""
+    import random
+
+    from liresolr_spark.functions.codec import (
+        decode_positions,
+        delta_encode_blocked,
+        positions_byte_slices,
+        varint_encode,
+    )
+
+    rng = random.Random(7)
+    for trial in range(100):
+        n_post = rng.randint(1, 12)
+        pos_lists = [sorted(rng.sample(range(0, 5000), rng.randint(1, 9)))
+                     for _ in range(n_post)]
+        tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+        flat = np.array([x for p in pos_lists for x in p], dtype=np.uint64)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        stream = varint_encode(delta_encode_blocked(flat, starts))
+        dec, offs = decode_positions(stream, tfs)
+        assert dec.tolist() == flat.tolist(), trial
+        assert offs.tolist() == np.concatenate(([0], np.cumsum(tfs))).tolist()
+        slices = positions_byte_slices(stream, tfs)
+        perm = list(range(n_post))
+        rng.shuffle(perm)
+        dec2, _ = decode_positions(b"".join(slices[i] for i in perm),
+                                   tfs[perm])
+        assert dec2.tolist() == [x for i in perm for x in pos_lists[i]], trial
+    # empty stream (ha family / positionless blocks)
+    d, o = decode_positions(b"", np.array([0, 0], dtype=np.int64))
+    assert len(d) == 0 and o.tolist() == [0, 0, 0]
+    assert positions_byte_slices(b"", np.array([0, 0])) == [b"", b""]

@@ -215,6 +215,145 @@ def test_phrase_duplicate_natural_key_pins_to_indexed_content(spark, tmp_path):
     assert paths == {"dup2", "solo"}  # dup1's winner has no phrase
 
 
+# ---- positional index (Lucene .pos analog) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def indexed_pos(spark, corpus200, tmp_path_factory):
+    from liresolr_spark.plans.build import build_index
+
+    d = str(tmp_path_factory.mktemp("phrase_pos_index"))
+    build_index(corpus200, d, num_shards=8, block_size=64,
+                with_positions=True)
+    return d
+
+
+def test_positional_equals_verify(spark, corpus200, indexed_pos, bigrams):
+    """The two paths must agree on the MATCHED DOC SET always; scores are
+    exactly equal on non-self-overlapping phrases, and positional >= verify
+    on self-overlapping ones (sliding vs non-overlapping tf — the
+    documented deviation)."""
+    matched_any = False
+    for ph in bigrams[:4]:
+        a, b = ph.split(" ")
+        pos = {r["docID"]: r["score"] for r in
+               phrase_topk(spark, indexed_pos, None, ph, k=500).collect()}
+        ver = {r["docID"]: r["score"] for r in
+               phrase_topk(spark, indexed_pos, corpus200, ph, k=500,
+                           mode="verify").collect()}
+        assert set(pos) == set(ver), ph
+        for d in pos:
+            if a != b:
+                assert abs(pos[d] - ver[d]) < 1e-9, (ph, d)
+            else:
+                assert pos[d] >= ver[d] - 1e-12, (ph, d)
+        matched_any = matched_any or (len(pos) > 0 and a != b)
+    assert matched_any, "no non-self-overlapping bigram matched — vacuous"
+
+
+def test_positional_wand_unaffected(spark, indexed, indexed_pos, vocab):
+    """The positions stream must not change BM25 retrieval: WAND over the
+    positional index is rank/score-identical to the positionless one."""
+    terms = [vocab[0][0], vocab[5][0]]
+    a = wand_topk(spark, indexed, terms, k=20).collect()
+    b = wand_topk(spark, indexed_pos, terms, k=20).collect()
+    assert [(r["docID"], round(r["score"], 9)) for r in a] \
+        == [(r["docID"], round(r["score"], 9)) for r in b]
+
+
+def test_positional_sliding_semantics(spark, tmp_path):
+    """Positional tf is the SLIDING count (Lucene-exact): 'a a' occurs
+    twice in 'a a a'; the string-verify path counts once (documented
+    deviation, only observable on self-overlapping phrases)."""
+    from liresolr_spark.operators.phrase import positional_matches
+    from liresolr_spark.plans.build import build_index
+
+    rows = [("r", "p1", "c", "py", "x a a a y"),
+            ("r", "p2", "c", "py", "a a b a a"),
+            ("r", "p3", "c", "py", "nothing")]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string,"
+                               " lang string, content string")
+    d = str(tmp_path / "pos_sem")
+    build_index(df, d, num_shards=2, block_size=16, with_positions=True)
+    stats = {r["docID"]: r["path"] for r in
+             spark.read.parquet(f"{d}/docstats").collect()}
+    got = {stats[r["docID"]]: r["tf"]
+           for r in positional_matches(spark, d, ["a", "a"]).collect()}
+    assert got == {"p1": 2, "p2": 2}
+    ver = phrase_topk(spark, d, df, "a a", k=10, mode="verify").count()
+    assert ver == 2  # same docs; tf differs for p1 (1 vs 2)
+
+
+def test_positional_survives_compaction_and_append(spark, corpus200,
+                                                   tmp_path):
+    """Positions flow through segment append (tf_aggregate path) and full
+    compaction (decode -> byte-slice remap -> zero-recode rebuild): phrase
+    results on the compacted index equal the pre-compaction ones for the
+    surviving docs."""
+    import pyspark.sql.functions as FF
+
+    from liresolr_spark.plans.build import build_index, read_meta
+    from liresolr_spark.plans.compact import compact_index
+    from liresolr_spark.streaming.ingest import append_segment
+
+    g = FF.abs(FF.hash("repo", "path", "commit")) % 4
+    first = corpus200.filter(g < 3)
+    second = corpus200.filter(g == 3)
+    d = str(tmp_path / "pos_stream")
+    build_index(first, d, num_shards=4, block_size=64, with_positions=True)
+    assert read_meta(d).with_positions
+    append_segment(second, d, epoch_id=1)
+    assert read_meta(d).with_positions  # appends follow the meta flag
+
+    t = tokenize_expr("content")
+    bg = (corpus200.select(
+            FF.explode(FF.zip_with(FF.slice(t, 1, 1 << 20),
+                                   FF.slice(tokenize_expr("content"), 2, 1 << 20),
+                                   lambda a, b: FF.concat_ws(" ", a, b))).alias("bg"))
+          .groupBy("bg").count().orderBy(FF.desc("count"), "bg").first()["bg"])
+    before = phrase_topk(spark, d, None, bg, k=500).collect()
+    assert before, "fixture bigram matched nothing"
+    key_before = {r["docID"] for r in before}
+
+    out = str(tmp_path / "pos_stream_compact")
+    compact_index(spark, d, out_dir=out)
+    assert read_meta(out).with_positions
+    after = phrase_topk(spark, out, None, bg, k=500).collect()
+    # docIDs are renumbered by compaction; compare via natural keys + score
+    def keyed(idx, rows):
+        st = spark.read.parquet(f"{idx}/docstats").select(
+            "docID", "repo", "path", "commit")
+        ids = spark.createDataFrame(
+            [(r["docID"], round(r["score"], 6)) for r in rows],
+            "docID long, s double")
+        return {(r["repo"], r["path"], r["commit"], r["s"])
+                for r in st.join(ids, "docID").collect()}
+
+    assert keyed(d, before) == keyed(out, after)
+    assert len(key_before) == len(after)
+
+
+def test_engine_phrase_search(spark, indexed_pos, bigrams):
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, indexed_pos)
+    out = eng.phrase_search(bigrams[0], rows=10).collect()
+    op = phrase_topk(spark, indexed_pos, None, bigrams[0], k=10).collect()
+    assert [r["docID"] for r in out] == [r["docID"] for r in op]
+    assert eng.last_metrics["path"] == "positions"
+    langs = {r["lang"] for r in out}
+    if len(langs) > 1:
+        pick = sorted(langs)[0]
+        fq_out = eng.phrase_search(bigrams[0], rows=10,
+                                   fq=f"lang = '{pick}'").collect()
+        assert fq_out and all(r["lang"] == pick for r in fq_out)
+    # pagination: page 2 continues the ranking
+    p1 = eng.phrase_search(bigrams[0], rows=3).collect()
+    p2 = eng.phrase_search(bigrams[0], start=3, rows=3).collect()
+    full = eng.phrase_search(bigrams[0], rows=6).collect()
+    assert [r["docID"] for r in p1 + p2] == [r["docID"] for r in full]
+
+
 # ---- prefix / multi-term rewrite -------------------------------------------
 
 

@@ -244,3 +244,22 @@ def test_maintain_index_bounds_segment_count(spark, tmp_path):
                for r in wand_topk(spark, idx, py_tokenize(q), k=15).collect()]
         assert got == want, q
     corpus.unpersist()
+
+
+def test_append_refuses_cross_format_index(spark, tmp_path, corpus200):
+    """An append onto an older-format index would mix block layouts inside
+    one parquet dir — it must refuse and point at compact_index (the full-
+    rewrite upgrade path)."""
+    import json
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "oldfmt")
+    half = corpus200.limit(50)
+    append_segment(half, d, epoch_id=0, num_shards=2, block_size=32)
+    mpath = f"{d}/meta.json"
+    m = json.load(open(mpath))
+    m["format_version"] -= 1
+    json.dump(m, open(mpath, "w"))
+    with _pytest.raises(RuntimeError, match="format"):
+        append_segment(corpus200.limit(10), d, epoch_id=1)
