@@ -168,6 +168,30 @@ def main() -> None:
                     cache_out=ph_cache), ph_cache)
     timings["phrase_topk_hot"] = round(time.time() - t0, 3)
 
+    # positional twin (Lucene .pos analog): one extra build (NOT the
+    # headline index_build — kept positionless for round-over-round
+    # comparability), then the same hot phrase answered index-only. The
+    # premium/speedup extras are the honest cost/benefit of positions.
+    idx_pos = f"/tmp/liresolr_bench_index_pos_{sf_label}_{corpus_rows}"
+    shutil.rmtree(idx_pos, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus, idx_pos, num_shards=32, block_size=128,
+                with_positions=True)
+    timings["index_build_positional"] = round(time.time() - t0, 3)
+    extras["positions_build_premium"] = round(
+        timings["index_build_positional"] / max(timings["index_build"], 1e-9),
+        2)
+    t0 = time.time()
+    ph_cache = []
+    materialize_and_release(
+        phrase_topk(spark, idx_pos, None, "import return", k=60,
+                    cache_out=ph_cache), ph_cache)
+    timings["phrase_topk_hot_positional"] = round(time.time() - t0, 3)
+    extras["phrase_positional_speedup"] = round(
+        timings["phrase_topk_hot"]
+        / max(timings["phrase_topk_hot_positional"], 1e-9), 2)
+    shutil.rmtree(idx_pos, ignore_errors=True)
+
     # repeated-fq serving: second call reuses the cached allow-list
     # (CachingWrapperFilter analog) — extras record first vs repeat
     fq = "lang = 'python'"
