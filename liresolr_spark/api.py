@@ -301,6 +301,8 @@ class LireQueryEngine:
         subsample: float | None = None,
         seed: int = 42,
         fl_expr: str | None = None,
+        must: str | list[str] | None = None,
+        must_not: str | list[str] | None = None,
     ) -> DataFrame:
         """Dispatch on query source, exactly like handleRequestBody
         (ref: LireRequestHandler.java:103-130):
@@ -323,6 +325,14 @@ class LireQueryEngine:
         orders by the same exact score (our exact phase IS the BM25 score,
         so candidates=k suffices; the parameter exists for parity with the
         20000-candidate pool, LireRequestHandler.java:59).
+
+        must / must_not: boolean clauses (Lucene BooleanQuery
+        Occur.MUST / Occur.MUST_NOT; the Solr +term/-term surface): MUST
+        terms restrict the candidate set AND contribute score, MUST_NOT
+        terms exclude. Strings are tokenized; lists are taken as tokens.
+        Resolved from posting lists only (operators/boolean.py) and pushed
+        into the shard kernel as docID masks — exact top-k under the full
+        restriction, composing with fq.
 
         fl_expr: optional SQL expression over the projected columns (repo,
         path, commit, lang, score), returned as an extra `fval` column —
@@ -356,6 +366,29 @@ class LireQueryEngine:
         # the filter bitset ANDed into the collector. Cached per fq string
         # (see _fq_allow), so repeated filters skip the docstats scan.
         allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        # boolean clauses (Lucene BooleanQuery semantics, the Solr
+        # +term/-term surface): MUST restricts AND scores, MUST_NOT
+        # excludes — both resolved from posting lists only and pushed into
+        # the shard kernel as docID masks, composing with fq. Exactness
+        # under the full restriction is preserved (same cogroup seam).
+        must_terms = (py_tokenize(must) if isinstance(must, str)
+                      else list(must or []))
+        not_terms = (py_tokenize(must_not) if isinstance(must_not, str)
+                     else list(must_not or []))
+        if must_terms or not_terms:
+            from liresolr_spark.operators.boolean import boolean_restriction
+
+            b_allow, b_deny = boolean_restriction(
+                self.spark, self.index_dir, must_terms, not_terms,
+                field=field, blocks_df=self._blocks, meta=self.meta)
+            if b_allow is not None:
+                allow = (b_allow if allow is None
+                         else allow.join(b_allow, ["shard", "docID"]))
+            if b_deny is not None:
+                fq_deny = (b_deny if fq_deny is None
+                           else fq_deny.unionByName(b_deny))
+            # MUST clauses also score (Lucene Occur.MUST)
+            terms = self._check_clauses(terms + must_terms)
         hits = self._wand(terms, k=pool, field=field, allow_docids=allow,
                           extra_deny=fq_deny)
         out = self._project(self._paginate(hits, start, rows))

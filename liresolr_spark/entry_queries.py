@@ -1741,6 +1741,40 @@ def w03(spark, sf_dir):
     )
 
 
+_Q19_SHOULD, _Q19_MUST, _Q19_NOT = "merge sort", ["join"], ["window"]
+# rows=100 > the 69 matching docs at sf0.01 (60 at sf0.001): the limit
+# never cuts, so no rounding-tie risk at a rank boundary
+_Q19_ROWS = 100
+_Q19_FQ = (
+    "(SELECT count(DISTINCT t2.term) FROM tok t2 "
+    " WHERE t2.doc_id = d.doc_id AND t2.term IN ('join')) = 1 "
+    "AND NOT EXISTS (SELECT 1 FROM tok t3 "
+    " WHERE t3.doc_id = d.doc_id AND t3.term IN ('window'))"
+)
+
+
+@_reg("q19_boolean_query",
+      _bm25_sql("merge sort join", _Q19_ROWS, fq_where=_Q19_FQ))
+def q19(spark, sf_dir):
+    """Boolean query through the SERVED facade: Lucene BooleanQuery
+    semantics (the Solr +term/-term surface) — SHOULD terms score, MUST
+    terms restrict the candidate set AND score, MUST_NOT terms exclude
+    (operators/boolean.py; masks pushed into the WAND kernel like fq, so
+    the top-k is exact under the full restriction). The DuckDB oracle
+    scores BM25 over SHOULD∪MUST with correlated EXISTS/NOT-EXISTS
+    restrictions — the reference's own builder is SHOULD-only
+    (createQuery, LireRequestHandler.java:576-592); MUST/MUST_NOT is the
+    surrounding Solr surface."""
+    eng = _entry_engine(spark, sf_dir)
+    out = eng.search(text=_Q19_SHOULD, must=_Q19_MUST, must_not=_Q19_NOT,
+                     rows=_Q19_ROWS)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 _PHRASE_Q18 = "merge sort"
 _PHRASE_W04 = "hash join"
 
