@@ -190,6 +190,18 @@ def main() -> None:
     extras["phrase_positional_speedup"] = round(
         timings["phrase_topk_hot"]
         / max(timings["phrase_topk_hot_positional"], 1e-9), 2)
+
+    # batched phrase serving: 24 phrases in one job (union-term scan,
+    # shared per-shard decode — the search_many amortization for phrases)
+    pbase = ["import return", "return def", "def public", "read file",
+             "merge scan", "hash map", "data node", "sort merge"]
+    ptexts = {f"p{i}": pbase[i % len(pbase)] for i in range(24)}
+    eng_pos = LireQueryEngine(spark, idx_pos, pin_blocks=False)
+    t0 = time.time()
+    eng_pos.phrase_search_many(ptexts, rows=10).collect()
+    dt = time.time() - t0
+    timings["serving_phrase_batch_24q"] = round(dt, 3)
+    extras["phrase_queries_per_sec"] = round(len(ptexts) / dt, 2)
     shutil.rmtree(idx_pos, ignore_errors=True)
 
     # repeated-fq serving: second call reuses the cached allow-list

@@ -580,6 +580,38 @@ class LireQueryEngine:
         }
         return out
 
+    @_counted
+    def phrase_search_many(self, texts: dict[str, str],
+                           rows: int = DEFAULT_ROWS) -> DataFrame:
+        """Batched phrase serving (positional indexes only): ALL phrases in
+        ONE distributed job — the union of the phrases' terms is scanned
+        and decoded once per shard (the search_many amortization). Returns
+        DataFrame(qid, docID, repo, path, commit, lang, score), each qid's
+        exact top-`rows`, rank-identical to per-phrase phrase_search().
+        Eagerly materialized for the same cache-lifecycle reason as
+        phrase_search."""
+        from liresolr_spark.operators.bm25 import materialize_and_release
+        from liresolr_spark.operators.phrase import phrase_topk_many
+
+        t0 = time.time()
+        cache: list = []
+        hits = materialize_and_release(
+            phrase_topk_many(
+                self.spark, self.index_dir, texts, k=rows,
+                blocks_df=self._blocks, meta=self.meta,
+                deny_docids=self._deny, cache_out=cache),
+            cache)
+        stats = self._docstats().select("docID", "repo", "path", "commit",
+                                        "lang")
+        out = stats.join(F.broadcast(hits), "docID").select(
+            "qid", "docID", "repo", "path", "commit", "lang", "score"
+        ).orderBy("qid", F.desc("score"), F.asc("docID"))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": "text", "n_queries": len(texts), "pool": rows,
+        }
+        return out
+
     # -- /lireId analog -----------------------------------------------------
 
     @_counted

@@ -131,6 +131,88 @@ def conjunctive_docids(
         spark, blocks, kernel, "shard int, docID long", meta.num_shards)
 
 
+def _decode_term_postings(bl: pd.DataFrame) -> dict:
+    """{term: (docIDs, doclens, tfs, flat_positions)} for one shard's block
+    rows — block streams concatenate in block_seq order, so every stream
+    stays docID-sorted."""
+    per = {}
+    for term, grp in bl.groupby("term", sort=False):
+        ids_l, dls_l, tfs_l, flat_l = [], [], [], []
+        for d, t, ln, pz in zip(grp["docids"], grp["tfs"],
+                                grp["doclens"], grp["positions"]):
+            ids, tfs, dls = decode_block(bytes(d), bytes(t), bytes(ln))
+            flat, _ = decode_positions(bytes(pz), tfs)
+            if len(flat) != int(tfs.sum()):
+                raise ValueError(
+                    "positions stream inconsistent with tfs — index "
+                    "corrupt or built without positions")
+            ids_l.append(ids.astype(np.int64))
+            dls_l.append(dls.astype(np.int64))
+            tfs_l.append(tfs.astype(np.int64))
+            flat_l.append(flat.astype(np.int64))
+        per[term] = (
+            np.concatenate(ids_l), np.concatenate(dls_l),
+            np.concatenate(tfs_l), np.concatenate(flat_l))
+    return per
+
+
+def _sliding_match(per: dict, seq: list[str]):
+    """SLIDING phrase matches against decoded per-term postings: returns
+    (docIDs, tf, doclen) numpy arrays, or None when nothing matches.
+
+    docID AND across the unique terms (smallest posting list first), then
+    per sequence slot i intersect (doc_rank << 32) | (pos - i) key sets —
+    the vectorized ExactPhraseMatcher advance loop; tf counts every match
+    position (self-overlapping included); doc_rank (dense index into the
+    candidate array) keeps the composite key inside int64 regardless of
+    global docID width."""
+    uniq = sorted(set(seq))
+    if any(t not in per for t in uniq):
+        return None
+    ordered = sorted(uniq, key=lambda t: len(per[t][0]))
+    cand = per[ordered[0]][0]
+    for t in ordered[1:]:
+        if not len(cand):
+            return None
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if not len(cand):
+        return None
+
+    running = None
+    for i, t in enumerate(seq):
+        ids, _, tfs, flat = per[t]
+        mask = np.isin(ids, cand, assume_unique=True)
+        sel = np.flatnonzero(mask)
+        lens = tfs[sel]
+        offs = np.concatenate(([0], np.cumsum(tfs)))[sel]
+        total = int(lens.sum())
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1])) \
+            if len(lens) else np.array([], dtype=np.int64)
+        gidx = (np.repeat(offs - out_starts, lens)
+                + np.arange(total)) if total else \
+            np.array([], dtype=np.int64)
+        pos = flat[gidx] - i
+        ranks = np.searchsorted(cand, ids[sel])
+        valid = pos >= 0  # a slot-i term before position i can't match
+        keys = ((np.repeat(ranks, lens)[valid] << np.int64(32))
+                | pos[valid])
+        # already sorted: ranks are non-decreasing (ids sorted), and
+        # within a doc a term has ONE posting with ascending positions
+        running = keys if running is None else \
+            np.intersect1d(running, keys, assume_unique=True)
+        if not len(running):
+            return None
+
+    doc_rank = (running >> np.int64(32)).astype(np.int64)
+    tf = np.bincount(doc_rank, minlength=len(cand))
+    hit = np.flatnonzero(tf)
+    # doclen per doc from any term's postings (denormalized in-block)
+    ids0, dls0, _, _ = per[ordered[0]]
+    dl_map_idx = np.searchsorted(ids0, cand[hit])
+    return (cand[hit], tf[hit].astype(np.int64),
+            dls0[dl_map_idx].astype(np.int64))
+
+
 def positional_matches(
     spark: SparkSession,
     index_dir: str,
@@ -177,84 +259,130 @@ def positional_matches(
         if bl is None:
             return empty
         shard = int(bl["shard"].iloc[0])
-        # decode per term: posting docIDs/doclens + flat positions with
-        # per-posting offsets (block streams concatenate in block_seq order,
-        # so everything stays docID-sorted)
-        per = {}
-        for term, grp in bl.groupby("term", sort=False):
-            ids_l, dls_l, tfs_l, flat_l = [], [], [], []
-            for d, t, ln, pz in zip(grp["docids"], grp["tfs"],
-                                    grp["doclens"], grp["positions"]):
-                ids, tfs, dls = decode_block(bytes(d), bytes(t), bytes(ln))
-                flat, _ = decode_positions(bytes(pz), tfs)
-                if len(flat) != int(tfs.sum()):
-                    raise ValueError(
-                        "positions stream inconsistent with tfs — index "
-                        "corrupt or built without positions")
-                ids_l.append(ids.astype(np.int64))
-                dls_l.append(dls.astype(np.int64))
-                tfs_l.append(tfs.astype(np.int64))
-                flat_l.append(flat.astype(np.int64))
-            per[term] = (
-                np.concatenate(ids_l), np.concatenate(dls_l),
-                np.concatenate(tfs_l), np.concatenate(flat_l))
-
-        # docID AND across unique terms (smallest first)
-        ordered = sorted(uniq, key=lambda t: len(per[t][0]))
-        cand = per[ordered[0]][0]
-        for t in ordered[1:]:
-            if not len(cand):
-                return empty
-            cand = np.intersect1d(cand, per[t][0], assume_unique=True)
-        if not len(cand):
+        m = _sliding_match(_decode_term_postings(bl), seq)
+        if m is None:
             return empty
-
-        # sliding-match keys: for sequence slot i, (doc_rank << 32) |
-        # (pos - i); the phrase's match positions are the intersection of
-        # every slot's key set. doc_rank (dense index into cand) keeps the
-        # composite key inside int64 regardless of global docID width.
-        running = None
-        for i, t in enumerate(seq):
-            ids, _, tfs, flat = per[t]
-            mask = np.isin(ids, cand, assume_unique=True)
-            sel = np.flatnonzero(mask)
-            lens = tfs[sel]
-            offs = np.concatenate(([0], np.cumsum(tfs)))[sel]
-            total = int(lens.sum())
-            out_starts = np.concatenate(([0], np.cumsum(lens)[:-1])) \
-                if len(lens) else np.array([], dtype=np.int64)
-            gidx = (np.repeat(offs - out_starts, lens)
-                    + np.arange(total)) if total else \
-                np.array([], dtype=np.int64)
-            pos = flat[gidx] - i
-            ranks = np.searchsorted(cand, ids[sel])
-            valid = pos >= 0  # a slot-i term before position i can't match
-            keys = ((np.repeat(ranks, lens)[valid] << np.int64(32))
-                    | pos[valid])
-            # already sorted: ranks are non-decreasing (ids sorted), and
-            # within a doc a term has ONE posting with ascending positions
-            running = keys if running is None else \
-                np.intersect1d(running, keys, assume_unique=True)
-            if not len(running):
-                return empty
-
-        doc_rank = (running >> np.int64(32)).astype(np.int64)
-        tf = np.bincount(doc_rank, minlength=len(cand))
-        hit = np.flatnonzero(tf)
-        # doclen per doc from any term's postings (denormalized in-block)
-        ids0, dls0, _, _ = per[ordered[0]]
-        dl_map_idx = np.searchsorted(ids0, cand[hit])
+        ids, tf, dls = m
         return pd.DataFrame({
-            "shard": np.full(len(hit), shard, dtype="int32"),
-            "docID": cand[hit],
-            "tf": tf[hit].astype(np.int64),
-            "doclen": dls0[dl_map_idx].astype(np.int64)})
+            "shard": np.full(len(ids), shard, dtype="int32"),
+            "docID": ids, "tf": tf, "doclen": dls})
 
     from liresolr_spark.operators.wand import _run_shard_kernel
 
     return _run_shard_kernel(
         spark, blocks, kernel,
         "shard int, docID long, tf long, doclen long", meta.num_shards)
+
+
+def positional_matches_many(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: dict[str, list[str]],
+    field: str = "text",
+    blocks_df: DataFrame | None = None,
+    meta=None,
+) -> DataFrame:
+    """Batched positional phrase matching: DataFrame(qid, shard, docID, tf,
+    doclen) for ALL phrases in ONE distributed job — the blocks of the
+    UNION of every phrase's terms are scanned and decoded once per shard,
+    then each phrase sliding-matches against the shared decoded postings
+    (the search_many amortization applied to phrases: a hot term's posting
+    list is decoded once no matter how many phrases use it)."""
+    phrases = {q: list(t) for q, t in phrases.items() if t}
+    if not phrases:
+        return spark.createDataFrame(
+            [], "qid string, shard int, docID long, tf long, doclen long")
+    meta = meta or read_meta(index_dir)
+    if not getattr(meta, "with_positions", False):
+        raise ValueError(
+            f"index {index_dir} was built with_positions=False — batched "
+            "phrase matching needs the positions stream")
+    all_terms = sorted({t for ts in phrases.values() for t in ts})
+    src = (blocks_df if blocks_df is not None
+           else spark.read.parquet(f"{index_dir}/blocks"))
+    blocks = src.filter(
+        (F.col("field") == field) & F.col("term").isin(all_terms)
+    ).select("shard", "term", "block_seq", "docids", "tfs", "doclens",
+             "positions")
+    specs = sorted(phrases.items())
+
+    def kernel(bl: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "qid": pd.Series(dtype="object"),
+            "shard": pd.Series(dtype="int32"),
+            "docID": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64"),
+            "doclen": pd.Series(dtype="int64")})
+        if len(bl) == 0:
+            return empty
+        shard = int(bl["shard"].iloc[0])
+        per = _decode_term_postings(bl.sort_values("block_seq",
+                                                   kind="stable"))
+        frames = []
+        for qid, seq in specs:
+            m = _sliding_match(per, seq)
+            if m is None:
+                continue
+            ids, tf, dls = m
+            frames.append(pd.DataFrame({
+                "qid": np.repeat(qid, len(ids)),
+                "shard": np.full(len(ids), shard, dtype="int32"),
+                "docID": ids, "tf": tf, "doclen": dls}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    from liresolr_spark.operators.wand import _run_shard_kernel
+
+    return _run_shard_kernel(
+        spark, blocks, kernel,
+        "qid string, shard int, docID long, tf long, doclen long",
+        meta.num_shards)
+
+
+def phrase_topk_many(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: dict[str, str],
+    k: int = 60,
+    field: str = "text",
+    blocks_df: DataFrame | None = None,
+    meta=None,
+    deny_docids: DataFrame | None = None,
+    cache_out: list | None = None,
+) -> DataFrame:
+    """Batched exact phrase top-k (positional indexes only):
+    DataFrame(qid, docID, score) with each qid's matches ranked by its own
+    phrase-BM25 (per-qid df from a small keyed aggregate, broadcast back).
+    Rank-identical per qid to phrase_topk. Final merge reuses the batched
+    serving merge (operators.wand._merge_topk_per_qid)."""
+    specs = {q: py_tokenize(p) for q, p in phrases.items()}
+    meta = meta or read_meta(index_dir)
+    matched = positional_matches_many(spark, index_dir, specs, field=field,
+                                      blocks_df=blocks_df, meta=meta)
+    if deny_docids is not None:
+        matched = matched.join(deny_docids.select("shard", "docID"),
+                               ["shard", "docID"], "left_anti")
+    if cache_out is not None:
+        matched = matched.persist()
+        cache_out.append(matched)
+    dfc = matched.groupBy("qid").agg(F.count("*").alias("_df_phrase"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(meta.n_docs)) - F.col("_df_phrase") + 0.5)
+        / (F.col("_df_phrase") + 0.5))
+    tf = F.col("tf").cast("double")
+    k1, b = meta.k1, meta.b
+    scored = (
+        matched.join(F.broadcast(dfc), "qid")
+        .withColumn(
+            "score",
+            idf * tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b
+                          + b * F.col("doclen").cast("double")
+                          / F.lit(float(meta.avgdl)))))
+        .select("qid", "docID", "score")
+    )
+    from liresolr_spark.operators.wand import _merge_topk_per_qid
+
+    return _merge_topk_per_qid(scored, k)
 
 
 def _score_phrase_matches(

@@ -333,6 +333,42 @@ def test_positional_survives_compaction_and_append(spark, corpus200,
     assert len(key_before) == len(after)
 
 
+def test_phrase_many_rank_identical_to_single(spark, indexed_pos, bigrams):
+    """Batched phrase matching (one scan for the whole batch) must be
+    rank- and score-identical per qid to the per-phrase path; a no-match
+    phrase simply contributes no rows."""
+    from liresolr_spark.operators.phrase import phrase_topk_many
+
+    texts = {f"q{i}": ph for i, ph in enumerate(bigrams[:3])}
+    texts["qz"] = "zz_not_a_term_zz nope"
+    got = phrase_topk_many(spark, indexed_pos, texts, k=20).collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append((r["docID"],
+                                                round(r["score"], 9)))
+    assert "qz" not in by_qid
+    any_rows = False
+    for i, ph in enumerate(bigrams[:3]):
+        want = [(r["docID"], round(r["score"], 9)) for r in
+                phrase_topk(spark, indexed_pos, None, ph, k=20).collect()]
+        assert by_qid.get(f"q{i}", []) == want, ph
+        any_rows = any_rows or bool(want)
+    assert any_rows
+
+
+def test_engine_phrase_search_many(spark, indexed_pos, bigrams):
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, indexed_pos)
+    out = eng.phrase_search_many({"a": bigrams[0], "b": bigrams[1]},
+                                 rows=5).collect()
+    for qid, ph in (("a", bigrams[0]), ("b", bigrams[1])):
+        batch = [r["docID"] for r in out if r["qid"] == qid]
+        single = [r["docID"] for r in
+                  eng.phrase_search(ph, rows=5).collect()]
+        assert batch == single, qid
+
+
 def test_engine_phrase_search(spark, indexed_pos, bigrams):
     from liresolr_spark.api import LireQueryEngine
 
