@@ -344,6 +344,13 @@ class LireQueryEngine:
         """
         t0 = time.time()
         field = "text"
+        if (must or must_not) and text is None and hashes is None:
+            # the boolean-clause block runs only on the term-scored
+            # dispatches; silently dropping clauses on the by-example /
+            # random paths would return unfiltered results
+            raise ValueError(
+                "must/must_not require a text= or hashes= query "
+                "(use text='' for a MUST-only query)")
         if hashes is not None:
             field, terms = "ha", list(hashes)
         elif text is not None:
@@ -519,7 +526,15 @@ class LireQueryEngine:
         self._check_clauses(terms)
         if not terms:
             empty = self.spark.createDataFrame([], "docID long, score double")
-            return self._project(empty)
+            out = self._project(empty)
+            if fl_expr is not None:
+                out = out.withColumn("fval", F.expr(fl_expr))
+            self.last_metrics = {
+                "RawDocsSearchTime_planning_ms":
+                    round((time.time() - t0) * 1000, 1),
+                "field": field, "n_terms": 0, "pool": 0, "prefix": prefix,
+            }
+            return out
         pool = start + rows
         allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
         hits = self._wand(terms, k=pool, field=field, allow_docids=allow,

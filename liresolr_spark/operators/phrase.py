@@ -553,6 +553,10 @@ def phrase_topk(
             .join(corpus.select(*NATURAL_KEY, content_col), NATURAL_KEY)
             .filter(F.sha2(F.col(content_col), 256) == F.col("sha256"))
             .drop("sha256")
+            # byte-identical duplicate corpus rows all pass the sha pin —
+            # without this dedup one indexed doc scores (and counts toward
+            # the phrase df) once per duplicate
+            .dropDuplicates(["docID"])
         )
         scored = phrase_scores(
             keyed, phrase, meta.n_docs, meta.avgdl, meta.k1, meta.b,

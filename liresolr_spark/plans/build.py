@@ -118,6 +118,22 @@ def _paths(index_dir: str) -> dict:
     }
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable process-liveness probe (signal 0): /proc/<pid> exists only
+    on Linux, and a false 'dead' verdict lets repair roll back a LIVE
+    merge. PermissionError means the pid exists but belongs to another
+    user — alive for our purpose."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
+
 TOMBSTONE_SCHEMA = "docID long, shard int, seg int"
 
 
@@ -148,8 +164,7 @@ def read_meta(index_dir: str) -> IndexMeta:
             pass
         # own pid = the marker is from THIS process's crashed (synchronous)
         # run, not a concurrent live one
-        live = (pid is not None and pid != os.getpid()
-                and os.path.exists(f"/proc/{pid}"))
+        live = pid is not None and pid != os.getpid() and _pid_alive(pid)
         raise RuntimeError(
             f"index {index_dir} has an "
             + (f"IN-PROGRESS partial compaction (pid {pid} is alive); "

@@ -582,8 +582,10 @@ def repair_segment_compaction(index_dir: str, force: bool = False) -> str:
         marker = json.load(f)
 
     pid = marker.get("pid")
+    from liresolr_spark.plans.build import _pid_alive
+
     if (not force and pid is not None and pid != os.getpid()
-            and os.path.exists(f"/proc/{pid}")):
+            and _pid_alive(pid)):
         raise RuntimeError(
             f"compact_segments (pid {pid}) appears to still be running on "
             f"this host; the marker marks an IN-PROGRESS merge, not a "

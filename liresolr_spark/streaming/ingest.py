@@ -324,11 +324,21 @@ def maintain_index(
     if len(appended) < max_appended_segments:
         return None
     if max_segment_docs is None:
-        # live docs per appended segment: one O(#shards)-row agg
+        # LIVE docs per appended segment (tombstoned docs excluded — the
+        # merge itself drops them, so counting them would keep a mostly-
+        # superseded merged segment above its tier forever): one
+        # O(#shards)-row agg
+        from liresolr_spark.plans.build import load_tombstones
+
+        stats = spark.read.parquet(f"{index_dir}/docstats")
+        tombs = load_tombstones(spark, index_dir)
+        if tombs is not None:
+            stats = stats.join(tombs.select("docID").distinct(), "docID",
+                               "left_anti")
         per_shard = {
             int(r["shard"]): int(r["n"])
-            for r in spark.read.parquet(f"{index_dir}/docstats")
-            .groupBy("shard").agg(F.count("*").alias("n")).collect()}
+            for r in stats.groupBy("shard").agg(
+                F.count("*").alias("n")).collect()}
         sizes = sorted(
             sum(per_shard.get(sh, 0) for sh in range(lo, hi))
             for _, lo, hi in appended)
@@ -348,6 +358,7 @@ def incremental_index(
     block_size: int = 128,
     maintain_after_segments: int | None = None,
     maintain_max_segment_docs: int | None = None,
+    with_positions: bool = False,
 ):
     """Stream corpus parquet files into the index (file source -> foreachBatch
     segment append). With available_now=True the query drains all unread
@@ -372,7 +383,8 @@ def incremental_index(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         append_segment(batch_df, index_dir, epoch_id=epoch_id,
-                       num_shards=num_shards, block_size=block_size)
+                       num_shards=num_shards, block_size=block_size,
+                       with_positions=with_positions)
         if maintain_after_segments is not None:
             maintain_index(spark, index_dir,
                            max_appended_segments=maintain_after_segments,

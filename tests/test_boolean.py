@@ -111,6 +111,20 @@ def test_boolean_semantics(spark, bidx):
     assert _paths_of(spark, d, {r["docID"] for r in out3}) == {"d4"}
 
 
+def test_boolean_clauses_require_term_query(spark, bidx):
+    """must/must_not on the by-example/random dispatch paths must raise —
+    silently dropping them would return unfiltered results."""
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, bidx[0])
+    with pytest.raises(ValueError, match="must/must_not"):
+        eng.search(doc_id=0, must_not=["gamma"])
+    with pytest.raises(ValueError, match="must/must_not"):
+        eng.search(must=["alpha"])  # random-sample dispatch
+    # the documented MUST-only form still works
+    assert eng.search(text="", must=["alpha"], rows=3).count() > 0
+
+
 def test_boolean_restriction_none_sides(spark, bidx):
     allow, deny = boolean_restriction(spark, bidx[0], None, None)
     assert allow is None and deny is None

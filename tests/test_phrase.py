@@ -200,6 +200,10 @@ def test_phrase_duplicate_natural_key_pins_to_indexed_content(spark, tmp_path):
         # winner HAS the phrase; loser does not
         ("r", "dup2", "c", "py", "aa magic words aa"),
         ("r", "dup2", "c", "py", "zz nothing zz"),
+        # BYTE-IDENTICAL duplicates: both pass the sha pin — the verify
+        # join must still score the doc ONCE (df and top-k slots)
+        ("r", "dup3", "c", "py", "magic words twice twin"),
+        ("r", "dup3", "c", "py", "magic words twice twin"),
         ("r", "solo", "c", "py", "magic words solo"),
     ]
     df = spark.createDataFrame(rows, "repo string, path string, commit string,"
@@ -212,7 +216,8 @@ def test_phrase_duplicate_natural_key_pins_to_indexed_content(spark, tmp_path):
              stats.join(spark.createDataFrame(
                  [(h["docID"],) for h in hits], "docID long"),
                  "docID").collect()}
-    assert paths == {"dup2", "solo"}  # dup1's winner has no phrase
+    assert paths == {"dup2", "dup3", "solo"}  # dup1's winner has no phrase
+    assert len(hits) == 3  # dup3 appears once despite identical duplicates
 
 
 # ---- positional index (Lucene .pos analog) ---------------------------------
@@ -446,5 +451,8 @@ def test_engine_prefix_search(spark, indexed):
         fq_out = eng.prefix_search("s", rows=10, max_expansions=4,
                                    fq=f"lang = '{pick}'").collect()
         assert fq_out and all(r["lang"] == pick for r in fq_out)
-    # no expansion -> empty projected frame, not an error
-    assert eng.prefix_search("zzqq", rows=5).count() == 0
+    # no expansion -> empty projected frame, not an error; fl_expr column
+    # and per-request metrics must still be present on this path
+    empty = eng.prefix_search("zzqq", rows=5, fl_expr="concat(repo, path)")
+    assert empty.count() == 0 and "fval" in empty.columns
+    assert eng.last_metrics.get("prefix") == "zzqq"

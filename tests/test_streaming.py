@@ -246,6 +246,23 @@ def test_maintain_index_bounds_segment_count(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_incremental_index_with_positions(spark, tmp_path, corpus200):
+    """Streaming ingest can create a POSITIONAL index from scratch: the
+    first micro-batch builds with_positions=True, every later append
+    follows the meta flag, and phrase queries serve index-only."""
+    from liresolr_spark.operators.phrase import phrase_topk
+    from liresolr_spark.plans.build import read_meta as _rm
+
+    src = str(tmp_path / "pos_src")
+    corpus200.limit(60).write.parquet(src)
+    idx = str(tmp_path / "pos_stream_idx")
+    ckpt = str(tmp_path / "pos_ckpt")
+    incremental_index(spark, src, idx, ckpt, available_now=True,
+                      num_shards=2, block_size=32, with_positions=True)
+    assert _rm(idx).with_positions
+    assert phrase_topk(spark, idx, None, "import return", k=5).count() >= 0
+
+
 def test_append_refuses_cross_format_index(spark, tmp_path, corpus200):
     """An append onto an older-format index would mix block layouts inside
     one parquet dir — it must refuse and point at compact_index (the full-
