@@ -409,14 +409,19 @@ class LireQueryEngine:
 
     @_counted
     def search_many(self, texts: dict[str, str], rows: int = DEFAULT_ROWS,
-                    field: str = "text") -> DataFrame:
+                    field: str = "text", fq: str | None = None) -> DataFrame:
         """Batched search: ALL queries in ONE distributed job (the serving-
         throughput path — per-job overhead amortizes across the batch, and
         the kernel decodes each hot posting block once per shard regardless
         of how many queries touch it). texts: {query_id: query_text}.
         Returns DataFrame(qid, docID, repo, path, commit, lang, score) with
         each qid's exact top-`rows` — rank-identical to per-query search().
-        """
+
+        fq: ONE filter query applied to the whole batch (the dashboard
+        pattern: same filter, many queries) — resolved through the same
+        cached/warmed tiers as search() and pushed into the batched kernel
+        as a shared docID mask, so every qid's top-k is exact under the
+        filter."""
         from liresolr_spark.operators.wand import wand_topk_many
 
         t0 = time.time()
@@ -426,11 +431,16 @@ class LireQueryEngine:
             if field == "ha":
                 terms = [py_hash_token(t) for t in terms]
             queries[qid] = terms
+        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        deny = self._deny
+        if fq_deny is not None:
+            deny = (fq_deny if deny is None
+                    else deny.unionByName(fq_deny))
         hits = wand_topk_many(
             self.spark, self.index_dir, queries, k=rows, field=field,
             blocks_df=self._blocks, dictionary_df=self._dictionary,
             dictionary_map=self._dict_map, meta=self.meta,
-            deny_docids=self._deny)
+            allow_docids=allow, deny_docids=deny)
         stats = self._docstats().select("docID", "repo", "path", "commit", "lang")
         out = stats.join(F.broadcast(hits), "docID").select(
             "qid", "docID", "repo", "path", "commit", "lang", "score"

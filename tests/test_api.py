@@ -127,6 +127,25 @@ def test_search_many_rank_identical(engine, docs_local):
         assert by_qid.get(qid, []) == want, qid
 
 
+def test_search_many_fq_rank_identical(engine):
+    """Batched serving with ONE shared filter (the dashboard pattern):
+    per-qid results must equal the per-query fq path exactly, and every
+    row must satisfy the filter."""
+    queries = {"q_a": "readFile tokenBlock sortMerge",
+               "q_b": "import return def public"}
+    fq = "lang = 'python'"
+    batched = engine.search_many(queries, rows=10, fq=fq).collect()
+    assert batched and all(r["lang"] == "python" for r in batched)
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["docID"], round(r["score"], 9)))
+    for qid, text in queries.items():
+        want = [(r["docID"], round(r["score"], 9))
+                for r in engine.search(text=text, fq=fq, rows=10).collect()]
+        assert by_qid.get(qid, []) == want, qid
+
+
 def test_refresh_sees_appended_segment(spark, corpus200, tmp_path_factory):
     """A live engine serves a consistent snapshot until refresh(); after a
     committed append + refresh it must serve the union with updated stats."""
