@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from liresolr_spark.functions.codec import decode_block, decode_positions
 from liresolr_spark.functions.tokenizer import py_tokenize, tokenize_expr
+from liresolr_spark.operators.wand import _in_sorted
 from liresolr_spark.plans.build import NATURAL_KEY, read_meta
 
 
@@ -181,8 +182,7 @@ def _sliding_match(per: dict, seq: list[str]):
     running = None
     for i, t in enumerate(seq):
         ids, _, tfs, flat = per[t]
-        mask = np.isin(ids, cand, assume_unique=True)
-        sel = np.flatnonzero(mask)
+        sel = np.flatnonzero(_in_sorted(ids, cand))
         lens = tfs[sel]
         offs = np.concatenate(([0], np.cumsum(tfs)))[sel]
         total = int(lens.sum())
