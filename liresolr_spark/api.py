@@ -523,16 +523,57 @@ class LireQueryEngine:
         under the cap) and then subject to the same MAX_QUERY_TERMS clause
         guard as every query (ref: BooleanQuery.setMaxClauseCount,
         SimilarRequestHandler.java:101)."""
-        from liresolr_spark.operators.multiterm import (
-            DEFAULT_MAX_EXPANSIONS, expand_prefix)
+        from liresolr_spark.operators.multiterm import expand_prefix
 
         t0 = time.time()
-        if max_expansions is None:
-            max_expansions = DEFAULT_MAX_EXPANSIONS
         terms = expand_prefix(
             self.spark, self.index_dir, prefix, field=field,
-            max_expansions=max_expansions,
+            max_expansions=self._expansion_cap(max_expansions),
             dictionary_df=self._dictionary, dictionary_map=self._dict_map)
+        return self._serve_expansion(terms, start, rows, fq, field, fl_expr,
+                                     t0, prefix=prefix)
+
+    @_counted
+    def wildcard_search(
+        self,
+        pattern: str,
+        start: int = 0,
+        rows: int = DEFAULT_ROWS,
+        fq: str | None = None,
+        field: str = "text",
+        max_expansions: int | None = None,
+        fl_expr: str | None = None,
+    ) -> DataFrame:
+        """General wildcard query (`te?t`, `fe1a*2b`, `read*`): Lucene
+        MultiTermQuery rewrite with `?`/`*` metacharacters
+        (operators/multiterm.expand_wildcard — leading wildcard rejected,
+        Solr's allowLeadingWildcard=false default) served through the same
+        pipeline as prefix_search(): capped deterministic expansion, WAND
+        scoring with qtf=1 per expanded term, fq pushdown, pagination,
+        projection. Resolves against the driver-pinned dictionary when
+        present (no Spark job for the expansion)."""
+        from liresolr_spark.operators.multiterm import expand_wildcard
+
+        t0 = time.time()
+        terms = expand_wildcard(
+            self.spark, self.index_dir, pattern, field=field,
+            max_expansions=self._expansion_cap(max_expansions),
+            dictionary_df=self._dictionary, dictionary_map=self._dict_map)
+        return self._serve_expansion(terms, start, rows, fq, field, fl_expr,
+                                     t0, pattern=pattern)
+
+    @staticmethod
+    def _expansion_cap(max_expansions: int | None) -> int:
+        from liresolr_spark.operators.multiterm import DEFAULT_MAX_EXPANSIONS
+
+        return (DEFAULT_MAX_EXPANSIONS if max_expansions is None
+                else max_expansions)
+
+    def _serve_expansion(self, terms, start, rows, fq, field, fl_expr, t0,
+                         **query_label) -> DataFrame:
+        """Shared tail of the multi-term rewrites (prefix/wildcard): clause
+        guard, empty-expansion short-circuit, fq pushdown, WAND, pagination,
+        projection, fl_expr, metrics."""
         self._check_clauses(terms)
         if not terms:
             empty = self.spark.createDataFrame([], "docID long, score double")
@@ -542,7 +583,7 @@ class LireQueryEngine:
             self.last_metrics = {
                 "RawDocsSearchTime_planning_ms":
                     round((time.time() - t0) * 1000, 1),
-                "field": field, "n_terms": 0, "pool": 0, "prefix": prefix,
+                "field": field, "n_terms": 0, "pool": 0, **query_label,
             }
             return out
         pool = start + rows
@@ -555,7 +596,7 @@ class LireQueryEngine:
         self.last_metrics = {
             "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
             "field": field, "n_terms": len(terms), "pool": pool,
-            "prefix": prefix,
+            **query_label,
         }
         return out
 

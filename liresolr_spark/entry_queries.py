@@ -1741,6 +1741,42 @@ def w03(spark, sf_dir):
     )
 
 
+_WILD_PAT, _WILD_MAX_EXP = "s*a*", 3
+# same derivation as the engine: prefix-pruned vocabulary, anchored wildcard
+# regex (multiterm.wildcard_regex translation), (df DESC, term ASC) cap.
+# At every test sf the cap-3 boundary sits on a clean df gap (no tie).
+_WILD_Q_SQL = (
+    "(SELECT term, 1 AS qtf FROM ("
+    "SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+    "WHERE term LIKE 's%' "
+    "AND regexp_full_match(term, 's[a-z0-9]*a[a-z0-9]*') GROUP BY term "
+    f"ORDER BY df DESC, term LIMIT {_WILD_MAX_EXP}) exp) AS q"
+)
+
+
+@_reg("w06_wildcard_topk_index",
+      _bm25_sql(_WILD_PAT, K_DEFAULT, q_sql=_WILD_Q_SQL))
+def w06(spark, sf_dir):
+    """GENERAL wildcard query (`?`/`*` metacharacters, not just a trailing
+    prefix star) through the SERVED facade: stock-Solr wildcard syntax over
+    the reference's whitespace-analyzed fields (README.md:144-160) — the
+    pattern is translated to an anchored regex over the tokenizer alphabet,
+    enumerated against the prefix-pruned dictionary (leading wildcard
+    rejected: Solr's allowLeadingWildcard=false), capped at max_expansions
+    by (df DESC, term ASC), and scored as an OR of BM25 clauses with qtf=1
+    (operators/multiterm.expand_wildcard; clause cap analog
+    SimilarRequestHandler.java:101). The DuckDB oracle derives the SAME
+    capped expansion with regexp_full_match over the corpus vocabulary."""
+    eng = _entry_engine(spark, sf_dir)
+    out = eng.wildcard_search(_WILD_PAT, rows=K_DEFAULT,
+                              max_expansions=_WILD_MAX_EXP)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 _Q19_SHOULD, _Q19_MUST, _Q19_NOT = "merge sort", ["join"], ["window"]
 # rows=100 > the 69 matching docs at sf0.01 (60 at sf0.001): the limit
 # never cuts, so no rounding-tie risk at a rank boundary

@@ -42,6 +42,9 @@ from liresolr_spark.operators.wand import wand_topk
 # the tokenizer's output alphabet (functions/tokenizer.py spec step d):
 # a prefix outside it can never match a dictionary term
 _PREFIX_RE = re.compile(r"[a-z0-9]+\Z")
+# wildcard pattern surface: literal alphabet plus Lucene's two wildcard
+# metacharacters (`?` = one character, `*` = zero or more)
+_WILDCARD_RE = re.compile(r"[a-z0-9?*]+\Z")
 
 DEFAULT_MAX_EXPANSIONS = 16
 
@@ -77,6 +80,99 @@ def expand_prefix(
     rows = (
         dictionary
         .filter((F.col("field") == field) & F.col("term").startswith(prefix))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern to an (unanchored) regex over
+    the tokenizer's output alphabet: `?` matches exactly one token
+    character, `*` zero or more, everything else is literal. The caller
+    anchors it (fullmatch / regexp_full_match) — the same translation on
+    both engines keeps the oracle's expansion identical."""
+    out = []
+    for ch in pattern:
+        if ch == "?":
+            out.append("[a-z0-9]")
+        elif ch == "*":
+            out.append("[a-z0-9]*")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard metacharacter — the
+    dictionary-range prune every wildcard enumeration starts from."""
+    for i, ch in enumerate(pattern):
+        if ch in "?*":
+            return pattern[:i]
+    return pattern
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    field: str = "text",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    dictionary_df: DataFrame | None = None,
+    dictionary_map: dict | None = None,
+) -> list[str]:
+    """Dictionary terms matching a Lucene wildcard pattern (`te?t`,
+    `fe1a*2b`, `read*`), top `max_expansions` by (df DESC, term ASC) —
+    the same deterministic TopTermsScoringBooleanQueryRewrite cap as
+    expand_prefix, so the two rewrites rank expansions identically.
+
+    Guards, both stock-Lucene behavior over the reference's
+    whitespace-analyzed text fields (README.md:144-160):
+    - pattern alphabet is [a-z0-9?*] (anything else can never match a
+      dictionary term — fail loudly rather than match nothing);
+    - a LEADING wildcard is rejected (Solr's allowLeadingWildcard=false
+      default: without a literal prefix the enumeration is a full
+      dictionary scan — on a 10^8-term dictionary that is the operator
+      you never want to ship silently). At least one literal prefix
+      character is required.
+
+    A pattern with no metacharacters degrades to the single-term query;
+    a pure trailing-`*` pattern delegates to expand_prefix (identical
+    semantics, and the pinned-map path skips regex entirely). Everything
+    else anchors wildcard_regex over the prefix-pruned dictionary range:
+    pinned map -> driver-side fullmatch (no Spark job); else one pruned
+    dictionary aggregate with the regex pushed into the scan filter."""
+    if not _WILDCARD_RE.match(pattern):
+        raise ValueError(
+            "wildcard pattern must be lowercase [a-z0-9] with ?/* "
+            f"metacharacters: {pattern!r}")
+    lit = wildcard_literal_prefix(pattern)
+    if not lit:
+        raise ValueError(
+            f"leading wildcard not allowed (full-dictionary scan): "
+            f"{pattern!r} — give at least one literal prefix character")
+    if lit == pattern:  # no metacharacters: a plain term query
+        return [pattern]
+    if pattern == lit + "*" and "?" not in pattern and "*" not in lit:
+        return expand_prefix(
+            spark, index_dir, lit, field=field,
+            max_expansions=max_expansions,
+            dictionary_df=dictionary_df, dictionary_map=dictionary_map)
+    rx = re.compile(wildcard_regex(pattern) + r"\Z")
+    if dictionary_map is not None:
+        dmap = dictionary_map.get(field, {})
+        matched = [(t, df) for t, df in dmap.items()
+                   if t.startswith(lit) and rx.match(t)]
+        matched.sort(key=lambda p: (-p[1], p[0]))
+        return [t for t, _ in matched[:max_expansions]]
+    dictionary = (dictionary_df if dictionary_df is not None
+                  else spark.read.parquet(f"{index_dir}/dictionary"))
+    rows = (
+        dictionary
+        .filter((F.col("field") == field) & F.col("term").startswith(lit)
+                & F.col("term").rlike("^" + wildcard_regex(pattern) + "$"))
         .groupBy("term").agg(F.sum("df").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)

@@ -456,3 +456,77 @@ def test_engine_prefix_search(spark, indexed):
     empty = eng.prefix_search("zzqq", rows=5, fl_expr="concat(repo, path)")
     assert empty.count() == 0 and "fval" in empty.columns
     assert eng.last_metrics.get("prefix") == "zzqq"
+
+# ---- general wildcard rewrite ----------------------------------------------
+
+
+def _wild_want(vocab, pat, cap):
+    import re
+
+    from liresolr_spark.operators.multiterm import wildcard_regex
+
+    rx = re.compile(wildcard_regex(pat) + r"\Z")
+    return [t for t, _ in sorted(
+        [(t, df) for t, df in vocab if rx.match(t)],
+        key=lambda p: (-p[1], p[0]))][:cap]
+
+
+def test_expand_wildcard_cap_and_order(spark, indexed, vocab):
+    from liresolr_spark.operators.multiterm import expand_wildcard
+
+    # patterns derived from the corpus vocabulary so at least one matches
+    t = vocab[0][0]
+    pats = [t[0] + "*" + t[-1], t[0] + "?" + t[2:] if len(t) >= 3 else t,
+            "s*a*", "re*d", "a?c*"]
+    for pat in pats:
+        for cap in (2, 100):
+            got = expand_wildcard(spark, indexed, pat, max_expansions=cap)
+            assert got == _wild_want(vocab, pat, cap), (pat, cap)
+
+
+def test_expand_wildcard_pinned_map_matches_cluster(spark, indexed, vocab):
+    from liresolr_spark.operators.multiterm import expand_wildcard
+
+    dmap = {"text": {t: df for t, df in vocab}}
+    t = vocab[0][0]
+    for pat in [t[0] + "*" + t[-1], "s*a*", "zz?q", "re*"]:
+        assert expand_wildcard(spark, indexed, pat, max_expansions=4,
+                               dictionary_map=dmap) \
+            == expand_wildcard(spark, indexed, pat, max_expansions=4), pat
+
+
+def test_expand_wildcard_guards_and_degenerate(spark, indexed):
+    from liresolr_spark.operators.multiterm import expand_wildcard
+
+    # leading wildcard = unbounded dictionary scan -> rejected (Solr's
+    # allowLeadingWildcard=false); bad alphabet rejected loudly
+    for bad in ["", "*tail", "?x", "Re*", "a b", "a-b*"]:
+        with pytest.raises(ValueError):
+            expand_wildcard(spark, indexed, bad)
+    # no metacharacters degrades to the single-term query (even unindexed:
+    # WAND treats an unknown term as zero-df, same as search())
+    assert expand_wildcard(spark, indexed, "zzqq") == ["zzqq"]
+    # pure trailing star == prefix expansion
+    assert expand_wildcard(spark, indexed, "s*", max_expansions=4) \
+        == expand_prefix(spark, indexed, "s", max_expansions=4)
+
+
+def test_engine_wildcard_search(spark, indexed, vocab):
+    from liresolr_spark.api import LireQueryEngine
+    from liresolr_spark.operators.multiterm import expand_wildcard
+
+    eng = LireQueryEngine(spark, indexed)
+    t = vocab[0][0]
+    pat = t[0] + "*" + t[-1]
+    terms = expand_wildcard(spark, indexed, pat, max_expansions=3)
+    assert terms, "vocabulary-derived pattern must match"
+    out = eng.wildcard_search(pat, rows=10, max_expansions=3).collect()
+    want = wand_topk(spark, indexed, terms, k=10).collect()
+    assert [r["docID"] for r in out] == [r["docID"] for r in want]
+    with pytest.raises(ValueError):
+        eng.wildcard_search("*" + t)
+    # empty expansion -> empty projected frame + metrics, not an error
+    empty = eng.wildcard_search("zz?q", rows=5)
+    assert empty.count() == 0
+    assert eng.last_metrics.get("pattern") == "zz?q"
+    assert eng.last_metrics.get("n_terms") == 0
