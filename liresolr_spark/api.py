@@ -247,6 +247,36 @@ class LireQueryEngine:
                     df.unpersist()
         return pair
 
+    def _resolve_restriction(self, fq, must, must_not, field):
+        """(allow, deny, must_terms) docID restriction shared by the
+        single-query and batched serving paths: the fq filter resolves
+        through the cached/warmed tiers (_fq_allow); boolean clauses
+        (Lucene BooleanQuery semantics, the Solr +term/-term surface —
+        MUST restricts AND scores, MUST_NOT excludes) resolve from posting
+        lists only (operators/boolean.py) and compose with fq through the
+        same kernel-mask seam, so the top-k stays exact under the full
+        restriction. must/must_not strings are tokenized; lists are taken
+        as tokens. Callers add the returned must_terms to the scored term
+        set (Occur.MUST scores)."""
+        allow, deny = self._fq_allow(fq) if fq else (None, None)
+        must_terms = (py_tokenize(must) if isinstance(must, str)
+                      else list(must or []))
+        not_terms = (py_tokenize(must_not) if isinstance(must_not, str)
+                     else list(must_not or []))
+        if must_terms or not_terms:
+            from liresolr_spark.operators.boolean import boolean_restriction
+
+            b_allow, b_deny = boolean_restriction(
+                self.spark, self.index_dir, must_terms, not_terms,
+                field=field, blocks_df=self._blocks, meta=self.meta)
+            if b_allow is not None:
+                allow = (b_allow if allow is None
+                         else allow.join(b_allow, ["shard", "docID"]))
+            if b_deny is not None:
+                deny = (b_deny if deny is None
+                        else deny.unionByName(b_deny))
+        return allow, deny, must_terms
+
     def _field_present(self, field: str) -> bool:
         """True iff the index carries any terms for `field` (e.g. an index
         built with with_hash_tokens=False has no 'ha' field)."""
@@ -372,28 +402,10 @@ class LireQueryEngine:
         # allow-list is proportional to fq selectivity; Lucene's analog is
         # the filter bitset ANDed into the collector. Cached per fq string
         # (see _fq_allow), so repeated filters skip the docstats scan.
-        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
-        # boolean clauses (Lucene BooleanQuery semantics, the Solr
-        # +term/-term surface): MUST restricts AND scores, MUST_NOT
-        # excludes — both resolved from posting lists only and pushed into
-        # the shard kernel as docID masks, composing with fq. Exactness
-        # under the full restriction is preserved (same cogroup seam).
-        must_terms = (py_tokenize(must) if isinstance(must, str)
-                      else list(must or []))
-        not_terms = (py_tokenize(must_not) if isinstance(must_not, str)
-                     else list(must_not or []))
-        if must_terms or not_terms:
-            from liresolr_spark.operators.boolean import boolean_restriction
-
-            b_allow, b_deny = boolean_restriction(
-                self.spark, self.index_dir, must_terms, not_terms,
-                field=field, blocks_df=self._blocks, meta=self.meta)
-            if b_allow is not None:
-                allow = (b_allow if allow is None
-                         else allow.join(b_allow, ["shard", "docID"]))
-            if b_deny is not None:
-                fq_deny = (b_deny if fq_deny is None
-                           else fq_deny.unionByName(b_deny))
+        # Boolean clauses compose with fq through the same mask seam.
+        allow, fq_deny, must_terms = self._resolve_restriction(
+            fq, must, must_not, field)
+        if must_terms:
             # MUST clauses also score (Lucene Occur.MUST)
             terms = self._check_clauses(terms + must_terms)
         hits = self._wand(terms, k=pool, field=field, allow_docids=allow,
@@ -409,7 +421,9 @@ class LireQueryEngine:
 
     @_counted
     def search_many(self, texts: dict[str, str], rows: int = DEFAULT_ROWS,
-                    field: str = "text", fq: str | None = None) -> DataFrame:
+                    field: str = "text", fq: str | None = None,
+                    must: str | list[str] | None = None,
+                    must_not: str | list[str] | None = None) -> DataFrame:
         """Batched search: ALL queries in ONE distributed job (the serving-
         throughput path — per-job overhead amortizes across the batch, and
         the kernel decodes each hot posting block once per shard regardless
@@ -417,21 +431,24 @@ class LireQueryEngine:
         Returns DataFrame(qid, docID, repo, path, commit, lang, score) with
         each qid's exact top-`rows` — rank-identical to per-query search().
 
-        fq: ONE filter query applied to the whole batch (the dashboard
-        pattern: same filter, many queries) — resolved through the same
-        cached/warmed tiers as search() and pushed into the batched kernel
-        as a shared docID mask, so every qid's top-k is exact under the
-        filter."""
+        fq / must / must_not: ONE restriction applied to the whole batch
+        (the dashboard pattern: same filter, many queries) — resolved
+        through the same cached/warmed tiers and posting-derived boolean
+        masks as search() and pushed into the batched kernel as shared
+        docID masks, so every qid's top-k is exact under the restriction.
+        MUST terms also score, appended to every query's term set (Lucene
+        Occur.MUST), exactly as search() does per query."""
         from liresolr_spark.operators.wand import wand_topk_many
 
         t0 = time.time()
+        allow, fq_deny, must_terms = self._resolve_restriction(
+            fq, must, must_not, field)
         queries = {}
         for qid, text in texts.items():
-            terms = self._check_clauses(py_tokenize(text))
+            terms = py_tokenize(text)
             if field == "ha":
                 terms = [py_hash_token(t) for t in terms]
-            queries[qid] = terms
-        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+            queries[qid] = self._check_clauses(terms + must_terms)
         deny = self._deny
         if fq_deny is not None:
             deny = (fq_deny if deny is None
@@ -448,6 +465,56 @@ class LireQueryEngine:
         self.last_metrics = {
             "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
             "field": field, "n_queries": len(queries), "pool": rows,
+        }
+        return out
+
+    @_counted
+    def prefix_search_many(self, prefixes: dict[str, str],
+                           rows: int = DEFAULT_ROWS, field: str = "text",
+                           fq: str | None = None,
+                           max_expansions: int | None = None) -> DataFrame:
+        """Batched prefix serving: every prefix expanded against the pinned
+        dictionary (or one pruned aggregate each), then ALL rewritten
+        queries answered in one batched WAND job — rank-identical per qid
+        to prefix_search(). A prefix with no expansion simply contributes
+        no rows for its qid (same contract as an unknown-term query in
+        search_many). fq applies to the whole batch."""
+        from liresolr_spark.operators.multiterm import expand_prefix
+        from liresolr_spark.operators.wand import wand_topk_many
+
+        t0 = time.time()
+        cap = self._expansion_cap(max_expansions)
+        queries = {}
+        for qid, prefix in prefixes.items():
+            terms = expand_prefix(
+                self.spark, self.index_dir, prefix, field=field,
+                max_expansions=cap, dictionary_df=self._dictionary,
+                dictionary_map=self._dict_map)
+            if terms:
+                queries[qid] = self._check_clauses(terms)
+        allow, fq_deny = self._fq_allow(fq) if fq else (None, None)
+        deny = self._deny
+        if fq_deny is not None:
+            deny = (fq_deny if deny is None
+                    else deny.unionByName(fq_deny))
+        if not queries:
+            hits = self.spark.createDataFrame(
+                [], "qid string, docID long, score double")
+        else:
+            hits = wand_topk_many(
+                self.spark, self.index_dir, queries, k=rows, field=field,
+                blocks_df=self._blocks, dictionary_df=self._dictionary,
+                dictionary_map=self._dict_map, meta=self.meta,
+                allow_docids=allow, deny_docids=deny)
+        stats = self._docstats().select("docID", "repo", "path", "commit",
+                                        "lang")
+        out = stats.join(F.broadcast(hits), "docID").select(
+            "qid", "docID", "repo", "path", "commit", "lang", "score"
+        ).orderBy("qid", F.desc("score"), F.asc("docID"))
+        self.last_metrics = {
+            "RawDocsSearchTime_planning_ms": round((time.time() - t0) * 1000, 1),
+            "field": field, "n_queries": len(prefixes),
+            "n_expanded": len(queries), "pool": rows,
         }
         return out
 
@@ -648,25 +715,59 @@ class LireQueryEngine:
 
     @_counted
     def phrase_search_many(self, texts: dict[str, str],
-                           rows: int = DEFAULT_ROWS) -> DataFrame:
-        """Batched phrase serving (positional indexes only): ALL phrases in
-        ONE distributed job — the union of the phrases' terms is scanned
-        and decoded once per shard (the search_many amortization). Returns
+                           rows: int = DEFAULT_ROWS,
+                           corpus: DataFrame | None = None) -> DataFrame:
+        """Batched phrase serving: ALL phrases in ONE distributed job — on
+        a positional index the union of the phrases' terms is scanned and
+        decoded once per shard (the search_many amortization). Returns
         DataFrame(qid, docID, repo, path, commit, lang, score), each qid's
         exact top-`rows`, rank-identical to per-phrase phrase_search().
         Eagerly materialized for the same cache-lifecycle reason as
-        phrase_search."""
+        phrase_search.
+
+        On a POSITIONLESS index the batch degrades to the two-stage verify
+        path per phrase (needs `corpus` — the index stores sha256, not
+        content), unioned under one action: results stay rank-identical to
+        phrase_search, but the per-shard decode is NOT shared across
+        phrases, so throughput is the single-query rate times parallel
+        subtree overlap — build with with_positions=True for the batched
+        fast path (the error below steers there when corpus is absent)."""
         from liresolr_spark.operators.bm25 import materialize_and_release
-        from liresolr_spark.operators.phrase import phrase_topk_many
+        from liresolr_spark.operators.phrase import (phrase_topk,
+                                                     phrase_topk_many)
 
         t0 = time.time()
         cache: list = []
-        hits = materialize_and_release(
-            phrase_topk_many(
-                self.spark, self.index_dir, texts, k=rows,
-                blocks_df=self._blocks, meta=self.meta,
-                deny_docids=self._deny, cache_out=cache),
-            cache)
+        if not texts:
+            hits = self.spark.createDataFrame(
+                [], "qid string, docID long, score double")
+        elif not getattr(self.meta, "with_positions", False):
+            if corpus is None:
+                raise ValueError(
+                    f"index {self.index_dir} was built with_positions=False"
+                    " — batched phrase serving needs either the positions"
+                    " stream (rebuild with with_positions=True for the"
+                    " shared-decode fast path) or corpus= for the per-"
+                    "phrase verify fallback")
+            per = [
+                phrase_topk(
+                    self.spark, self.index_dir, corpus, text, k=rows,
+                    blocks_df=self._blocks, meta=self.meta,
+                    deny_docids=self._deny, cache_out=cache)
+                .select(F.lit(qid).alias("qid"), "docID", "score")
+                for qid, text in sorted(texts.items())
+            ]
+            hits = per[0]
+            for nxt in per[1:]:
+                hits = hits.unionByName(nxt)
+            hits = materialize_and_release(hits, cache)
+        else:
+            hits = materialize_and_release(
+                phrase_topk_many(
+                    self.spark, self.index_dir, texts, k=rows,
+                    blocks_df=self._blocks, meta=self.meta,
+                    deny_docids=self._deny, cache_out=cache),
+                cache)
         stats = self._docstats().select("docID", "repo", "path", "commit",
                                         "lang")
         out = stats.join(F.broadcast(hits), "docID").select(

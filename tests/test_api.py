@@ -146,6 +146,49 @@ def test_search_many_fq_rank_identical(engine):
         assert by_qid.get(qid, []) == want, qid
 
 
+def test_search_many_boolean_rank_identical(engine):
+    """Batched serving with ONE shared boolean restriction (must/must_not
+    pushed into the batched kernel as docID masks, MUST also scoring):
+    per-qid results must equal the per-query boolean path exactly."""
+    queries = {"q_a": "readFile tokenBlock sortMerge",
+               "q_b": "import return def public"}
+    must, must_not = ["return"], ["public"]
+    batched = engine.search_many(queries, rows=10, must=must,
+                                 must_not=must_not).collect()
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["docID"], round(r["score"], 9)))
+    any_rows = False
+    for qid, text in queries.items():
+        want = [(r["docID"], round(r["score"], 9))
+                for r in engine.search(text=text, must=must,
+                                       must_not=must_not, rows=10).collect()]
+        assert by_qid.get(qid, []) == want, qid
+        any_rows = any_rows or bool(want)
+    assert any_rows  # the restriction must actually pass something
+
+
+def test_prefix_search_many_rank_identical(engine):
+    """Batched prefix serving: per-qid results equal prefix_search; an
+    unmatched prefix contributes no rows (and is counted in metrics)."""
+    prefixes = {"p_a": "re", "p_b": "s", "p_c": "zzqq"}
+    batched = engine.prefix_search_many(prefixes, rows=10,
+                                        max_expansions=4).collect()
+    m = dict(engine.last_metrics)
+    assert m["n_queries"] == 3 and m["n_expanded"] == 2
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["docID"], round(r["score"], 9)))
+    assert "p_c" not in by_qid
+    for qid, p in prefixes.items():
+        want = [(r["docID"], round(r["score"], 9))
+                for r in engine.prefix_search(p, rows=10,
+                                              max_expansions=4).collect()]
+        assert by_qid.get(qid, []) == want, qid
+
+
 def test_refresh_sees_appended_segment(spark, corpus200, tmp_path_factory):
     """A live engine serves a consistent snapshot until refresh(); after a
     committed append + refresh it must serve the union with updated stats."""

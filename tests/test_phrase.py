@@ -530,3 +530,24 @@ def test_engine_wildcard_search(spark, indexed, vocab):
     assert empty.count() == 0
     assert eng.last_metrics.get("pattern") == "zz?q"
     assert eng.last_metrics.get("n_terms") == 0
+
+
+def test_phrase_search_many_verify_fallback(spark, indexed, corpus200,
+                                            bigrams):
+    """Batched phrase serving on a POSITIONLESS index: raises a steering
+    error without corpus; with corpus, degrades to the per-phrase verify
+    path unioned under one action, rank-identical to phrase_search."""
+    from liresolr_spark.api import LireQueryEngine
+
+    eng = LireQueryEngine(spark, indexed)
+    with pytest.raises(ValueError, match="with_positions"):
+        eng.phrase_search_many({"a": bigrams[0]}, rows=5)
+    out = eng.phrase_search_many({"a": bigrams[0], "b": bigrams[1]},
+                                 rows=5, corpus=corpus200).collect()
+    for qid, ph in (("a", bigrams[0]), ("b", bigrams[1])):
+        batch = [(r["docID"], round(r["score"], 9))
+                 for r in out if r["qid"] == qid]
+        single = [(r["docID"], round(r["score"], 9))
+                  for r in eng.phrase_search(ph, rows=5,
+                                             corpus=corpus200).collect()]
+        assert batch == single, qid
