@@ -155,6 +155,28 @@ def main() -> None:
     eng.prefix_search("re", rows=10).collect()
     timings["serving_prefix"] = round(time.time() - t0, 3)
 
+    # general wildcard rewrite (pinned-dictionary regex expansion + WAND)
+    t0 = time.time()
+    eng.wildcard_search("re*d*", rows=10).collect()
+    timings["serving_wildcard"] = round(time.time() - t0, 3)
+
+    # batched prefix serving: 24 prefixes, one WAND job
+    pfx = {f"x{i}": p for i, p in enumerate(
+        ["re", "im", "da", "pa", "op", "em", "fi", "ke"] * 3)}
+    t0 = time.time()
+    eng.prefix_search_many(pfx, rows=10).collect()
+    dt = time.time() - t0
+    timings["serving_prefix_batch_24q"] = round(dt, 3)
+    extras["prefix_queries_per_sec"] = round(len(pfx) / dt, 2)
+
+    # batched serving under ONE shared boolean restriction (masks pushed
+    # into the batched kernel; MUST also scores)
+    btexts = {f"b{i}": qbase[i % len(qbase)] for i in range(12)}
+    t0 = time.time()
+    eng.search_many(btexts, rows=10, must=["import"],
+                    must_not=["mod3"]).collect()
+    timings["serving_batch_must_12q"] = round(time.time() - t0, 3)
+
     # exact phrase through the index: hot-term phrase = the worst case
     # (the AND candidate set is nearly corpus-sized, so this measures the
     # two-stage verify ceiling, not a cherry-picked rare phrase)
@@ -296,7 +318,32 @@ def main() -> None:
         "extras": extras,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    # The driver parses the LAST JSON line out of a 2000-char stdout tail
+    # capture — round 4's line outgrew it and the round's authoritative
+    # perf record came back "parsed": null (round-4 verdict #3). The full
+    # record (all extras) goes to a sidecar file; the printed line is the
+    # compact headline, degraded stepwise if it still wouldn't fit.
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = dict(out)
+    # headline extras only; the rest lives in the sidecar
+    compact["extras"] = {k: extras[k] for k in
+                         ("index_files_per_sec", "serving_queries_per_sec",
+                          "phrase_positional_speedup", "scaling")
+                         if k in extras}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("extras", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: headline only, full data in sidecar
+        compact = {"metric": out["metric"], "value": total, "unit": "sec",
+                   "sf": sf_label, "cpus": cpus,
+                   "see": "BENCH_FULL.json"}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

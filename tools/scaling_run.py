@@ -56,7 +56,20 @@ def child(cores: int, rows: int, num_shards: int = 32,
     from liresolr_spark.ship import ship_package
     from liresolr_spark.sources.corpus import synthetic_code_corpus
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    # event log -> per-phase byte totals (input / shuffle r+w / output):
+    # the byte evidence behind the bandwidth-bound single-socket story —
+    # if bytes-per-second plateaus from 8 to 32 cores while CPU quadruples,
+    # the wall is memory/IO bandwidth, not the plan
+    evdir = "/tmp/liresolr_eventlogs"
+    os.makedirs(evdir, exist_ok=True)
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores,
+                      extra_conf={"spark.eventLog.enabled": "true",
+                                  "spark.eventLog.dir": f"file://{evdir}",
+                                  # single plain-text file (no rolling dir,
+                                  # no zstd) so _phase_bytes can stream it
+                                  "spark.eventLog.rolling.enabled": "false",
+                                  "spark.eventLog.compress": "false"})
+    app_id = spark.sparkContext.applicationId
     ship_package(spark)
 
     corpus_path = f"/tmp/liresolr_scaling_corpus_{rows}"
@@ -77,6 +90,7 @@ def child(cores: int, rows: int, num_shards: int = 32,
         metrics = build_index(corpus, idx, num_shards=num_shards,
                               block_size=128)
         build_sec = time.time() - t0
+    build_end_ms = time.time() * 1000.0
 
     # warm-up query (Python-worker startup), then the timed batch.
     # Queries run CONCURRENTLY (thread pool -> overlapping Spark jobs): the
@@ -113,7 +127,7 @@ def child(cores: int, rows: int, num_shards: int = 32,
     eng.search_many(texts, rows=10).collect()
     served_sec = time.time() - t0
 
-    print(json.dumps({
+    out = {
         "cores": cores,
         "rows": metrics["n_docs"],
         "build_sec": round(build_sec, 3),
@@ -123,8 +137,48 @@ def child(cores: int, rows: int, num_shards: int = 32,
         "queries_per_sec": round(len(QUERY_BATCH) * 3 / query_sec, 3),
         "served_batch_sec": round(served_sec, 3),
         "served_queries_per_sec": round(len(texts) / served_sec, 3),
-    }))
-    spark.stop()
+    }
+    spark.stop()  # closes (renames) the event log
+    if build_sec:
+        bts = _phase_bytes(os.path.join(evdir, app_id), build_end_ms)
+        if bts:
+            out["build_bytes"] = bts
+            moved = (bts["input"] + bts["shuffle_read"]
+                     + bts["shuffle_write"] + bts["output"])
+            out["build_gb_per_sec"] = round(moved / build_sec / 1e9, 3)
+    print(json.dumps(out))
+
+
+def _phase_bytes(ev_path: str, until_ms: float) -> dict | None:
+    """Sum task-level byte metrics from a Spark event log for tasks that
+    FINISHED before `until_ms` (the build phase; queries start after).
+    Returns {input, shuffle_read, shuffle_write, output} byte totals —
+    the denominator-free evidence for the bandwidth-scaling analysis."""
+    if not os.path.exists(ev_path):
+        return None
+    tot = {"input": 0, "shuffle_read": 0, "shuffle_write": 0, "output": 0}
+    with open(ev_path) as f:
+        for ln in f:
+            if '"SparkListenerTaskEnd"' not in ln:
+                continue
+            try:
+                ev = json.loads(ln)
+            except ValueError:
+                continue
+            ti = ev.get("Task Info") or {}
+            if ti.get("Finish Time", 0) > until_ms:
+                continue
+            tm = ev.get("Task Metrics") or {}
+            im = tm.get("Input Metrics") or {}
+            sr = tm.get("Shuffle Read Metrics") or {}
+            sw = tm.get("Shuffle Write Metrics") or {}
+            om = tm.get("Output Metrics") or {}
+            tot["input"] += im.get("Bytes Read", 0)
+            tot["shuffle_read"] += (sr.get("Remote Bytes Read", 0)
+                                    + sr.get("Local Bytes Read", 0))
+            tot["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+            tot["output"] += om.get("Bytes Written", 0)
+    return tot
 
 
 def run_level(cores: int, rows: int, shards: int = 32,
