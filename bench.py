@@ -160,6 +160,11 @@ def main() -> None:
     eng.wildcard_search("re*d*", rows=10).collect()
     timings["serving_wildcard"] = round(time.time() - t0, 3)
 
+    # fuzzy rewrite (pinned-dictionary banded-Levenshtein expansion + WAND)
+    t0 = time.time()
+    eng.fuzzy_search("part", max_edits=2, rows=10).collect()
+    timings["serving_fuzzy"] = round(time.time() - t0, 3)
+
     # batched prefix serving: 24 prefixes, one WAND job
     pfx = {f"x{i}": p for i, p in enumerate(
         ["re", "im", "da", "pa", "op", "em", "fi", "ke"] * 3)}

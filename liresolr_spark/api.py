@@ -629,6 +629,37 @@ class LireQueryEngine:
         return self._serve_expansion(terms, start, rows, fq, field, fl_expr,
                                      t0, pattern=pattern)
 
+    @_counted
+    def fuzzy_search(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        start: int = 0,
+        rows: int = DEFAULT_ROWS,
+        fq: str | None = None,
+        field: str = "text",
+        max_expansions: int | None = None,
+        fl_expr: str | None = None,
+    ) -> DataFrame:
+        """Fuzzy term query (Lucene `term~1` / `term~2` syntax): enumerate
+        dictionary terms within `max_edits` plain-Levenshtein edits
+        (operators/multiterm.expand_fuzzy — banded DP on the pinned
+        dictionary, threshold `levenshtein()` pushdown on the Spark path),
+        then serve the capped expansion through the same pipeline as
+        prefix/wildcard_search: WAND scoring with qtf=1 per expanded term,
+        fq pushdown, pagination, projection."""
+        from liresolr_spark.operators.multiterm import expand_fuzzy
+
+        t0 = time.time()
+        terms = expand_fuzzy(
+            self.spark, self.index_dir, term, max_edits=max_edits,
+            prefix_length=prefix_length, field=field,
+            max_expansions=self._expansion_cap(max_expansions),
+            dictionary_df=self._dictionary, dictionary_map=self._dict_map)
+        return self._serve_expansion(terms, start, rows, fq, field, fl_expr,
+                                     t0, term=term, max_edits=max_edits)
+
     @staticmethod
     def _expansion_cap(max_expansions: int | None) -> int:
         from liresolr_spark.operators.multiterm import DEFAULT_MAX_EXPANSIONS

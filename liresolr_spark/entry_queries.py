@@ -1779,6 +1779,45 @@ def w06(spark, sf_dir):
     )
 
 
+_FUZZ_TERM, _FUZZ_EDITS, _FUZZ_MAX_EXP = "part", 2, 8
+# same derivation as the engine: vocabulary terms within max_edits plain
+# Levenshtein (DuckDB levenshtein == Spark levenshtein == the banded-DP
+# pinned path, all transposition-free), (df DESC, term ASC) cap. At every
+# test sf the expansion is {part, sort, fast, spark} (4 < cap 8, so the
+# cap never cuts); the sf0.01 df tie part=spark=385 is inside the kept set
+# and ordered by the term tiebreak.
+_FUZZ_Q_SQL = (
+    "(SELECT term, 1 AS qtf FROM ("
+    "SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+    f"WHERE levenshtein(term, '{_FUZZ_TERM}') <= {_FUZZ_EDITS} "
+    f"GROUP BY term ORDER BY df DESC, term LIMIT {_FUZZ_MAX_EXP}) exp) AS q"
+)
+
+
+@_reg("w07_fuzzy_topk_index",
+      _bm25_sql(_FUZZ_TERM, K_DEFAULT, q_sql=_FUZZ_Q_SQL))
+def w07(spark, sf_dir):
+    """Fuzzy term query (`part~2`) through the SERVED facade: Lucene
+    FuzzyQuery semantics over the reference's whitespace-analyzed fields
+    (README.md:144-160) — dictionary terms within max_edits plain
+    Levenshtein of the probe (transpositions=false mode; Lucene's
+    LevenshteinAutomata cap ed<=2), kept by docFreq like Lucene's
+    TopTermsBlendedFreqScoringRewrite, scored as an OR of BM25 clauses
+    with qtf=1 (operators/multiterm.expand_fuzzy; clause cap analog
+    SimilarRequestHandler.java:101). The DuckDB oracle derives the SAME
+    expansion with its levenshtein() over the corpus vocabulary — the
+    three Levenshtein implementations in play (banded-DP pinned path,
+    Spark SQL threshold form, DuckDB) must agree cell-for-cell."""
+    eng = _entry_engine(spark, sf_dir)
+    out = eng.fuzzy_search(_FUZZ_TERM, max_edits=_FUZZ_EDITS, rows=K_DEFAULT,
+                           max_expansions=_FUZZ_MAX_EXP)
+    return (
+        out.select(F.col("path").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    )
+
+
 _Q19_SHOULD, _Q19_MUST, _Q19_NOT = "merge sort", ["join"], ["window"]
 # rows=100 > the 69 matching docs at sf0.01 (60 at sf0.001): the limit
 # never cuts, so no rounding-tie risk at a rank boundary

@@ -181,6 +181,121 @@ def expand_wildcard(
     return [r["term"] for r in rows]
 
 
+def levenshtein_within(a: str, b: str, k: int) -> int | None:
+    """Plain Levenshtein distance (insert/delete/substitute, no
+    transposition — FuzzyQuery's transpositions=false mode) between `a`
+    and `b`, computed in an O(len·k) band with early exit; returns None
+    when the distance exceeds `k`. Plain-DP semantics match Spark SQL's
+    `levenshtein()` and DuckDB's `levenshtein()` exactly — the property
+    the oracle gate depends on."""
+    if abs(len(a) - len(b)) > k:
+        return None
+    if a == b:
+        return 0
+    # band of width 2k+1 around the diagonal; cells outside are > k
+    inf = k + 1
+    prev = list(range(min(k, len(b)) + 1)) + [inf] * max(0, len(b) - k)
+    for i, ca in enumerate(a, start=1):
+        cur = [i if i <= k else inf] + [inf] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        for j in range(lo, hi + 1):
+            cb = b[j - 1]
+            cur[j] = min(prev[j] + 1,          # delete from a
+                         cur[j - 1] + 1,       # insert into a
+                         prev[j - 1] + (ca != cb))
+        # early exit over the live cells (j=0 included — when b is shorter
+        # than the band's left edge it is the only candidate left)
+        if min(cur[max(0, lo - 1):hi + 1]) > k:
+            return None
+        prev = cur
+    return prev[len(b)] if prev[len(b)] <= k else None
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    field: str = "text",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    dictionary_df: DataFrame | None = None,
+    dictionary_map: dict | None = None,
+) -> list[str]:
+    """Dictionary terms within `max_edits` plain-Levenshtein edits of
+    `term` (Lucene FuzzyQuery's `term~1` / `term~2` surface over the
+    reference's whitespace-analyzed fields, README.md:144-160), top
+    `max_expansions` by (df DESC, term ASC) — the same deterministic cap
+    as expand_prefix/expand_wildcard, and the df-ranked keep is Lucene's
+    own TopTermsBlendedFreqScoringRewrite keep-criterion (docFreq).
+
+    Deviations from Lucene, both documented for parity review:
+    - plain Levenshtein (no transposition) so the engine, Spark SQL's
+      `levenshtein(threshold=)` and DuckDB's `levenshtein()` agree
+      cell-for-cell (FuzzyQuery exposes the same via transpositions=false);
+    - `prefix_length` filters to terms SHARING the exact prefix but the
+      distance is still computed over the full strings (Lucene computes it
+      over the suffix only; with edits confined past the shared prefix the
+      two agree, and the full-string form is what both SQL engines can
+      express).
+    - expansions score with qtf=1 each (scoring-boolean rewrite), not
+      Lucene's blended per-term boost 1-ed/minLen — consistent with the
+      prefix/wildcard rewrites so the whole MultiTermQuery family ranks
+      one way.
+
+    max_edits is capped at 2 (the LevenshteinAutomata bound Lucene
+    enforces): beyond 2 the candidate set on a natural-language dictionary
+    degrades toward everything, and the automaton construction Lucene uses
+    is defined only for ed<=2.
+
+    Enumeration cost: the dictionary is metadata-scale (vocabulary grows
+    sublinearly with the corpus). The pinned-map path scans it driver-side
+    with an O(len·k) banded DP and a length-window pre-filter; the Spark
+    path prunes the scan with the length window (+ the prefix range when
+    prefix_length>0) before the levenshtein call — at 10^8-term dictionary
+    scale set prefix_length>=1, the same guidance Lucene ships."""
+    if not _PREFIX_RE.match(term):
+        raise ValueError(
+            f"fuzzy term must be a lowercase [a-z0-9]+ token: {term!r}")
+    if not 0 <= max_edits <= 2:
+        raise ValueError(
+            f"max_edits must be 0..2 (LevenshteinAutomata cap): {max_edits}")
+    if max_edits == 0:
+        return [term]
+    pre = term[:prefix_length] if prefix_length > 0 else ""
+    if dictionary_map is not None:
+        dmap = dictionary_map.get(field, {})
+        matched = [
+            (t, df) for t, df in dmap.items()
+            if t.startswith(pre)
+            and levenshtein_within(t, term, max_edits) is not None
+        ]
+        matched.sort(key=lambda p: (-p[1], p[0]))
+        return [t for t, _ in matched[:max_expansions]]
+    dictionary = (dictionary_df if dictionary_df is not None
+                  else spark.read.parquet(f"{index_dir}/dictionary"))
+    cond = (
+        (F.col("field") == field)
+        # length window: a cheap pushdown-able prune before the DP
+        & (F.length("term") >= len(term) - max_edits)
+        & (F.length("term") <= len(term) + max_edits)
+        # threshold form: early-exit DP JVM-side, returns -1 when above
+        & (F.levenshtein(F.col("term"), F.lit(term), max_edits) >= 0)
+    )
+    if pre:
+        cond = F.col("term").startswith(pre) & cond
+    rows = (
+        dictionary
+        .filter(cond)
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
 def prefix_topk(
     spark: SparkSession,
     index_dir: str,

@@ -532,6 +532,138 @@ def test_engine_wildcard_search(spark, indexed, vocab):
     assert eng.last_metrics.get("n_terms") == 0
 
 
+# ---- fuzzy rewrite ----------------------------------------------------------
+
+
+def _lev_ref(a, b):
+    """Textbook full-matrix Levenshtein — the reference the banded kernel
+    is checked against."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _fuzzy_want(vocab, term, k, cap, pre=""):
+    from liresolr_spark.operators.multiterm import levenshtein_within
+
+    return [t for t, _ in sorted(
+        [(t, df) for t, df in vocab
+         if t.startswith(pre) and levenshtein_within(t, term, k) is not None],
+        key=lambda p: (-p[1], p[0]))][:cap]
+
+
+def test_levenshtein_within_matches_full_dp(vocab):
+    from liresolr_spark.operators.multiterm import levenshtein_within
+
+    words = [t for t, _ in vocab][:12] + ["", "a", "ab", "abc",
+                                          "abcd", "acbd", "xabc"]
+    for a in words:
+        for b in words:
+            ref = _lev_ref(a, b)
+            for k in (0, 1, 2):
+                got = levenshtein_within(a, b, k)
+                assert got == (ref if ref <= k else None), (a, b, k)
+
+
+def test_levenshtein_within_matches_duckdb(vocab):
+    """The banded DP must agree with DuckDB's levenshtein() — the oracle
+    gate computes the expansion with it."""
+    import duckdb
+
+    from liresolr_spark.operators.multiterm import levenshtein_within
+
+    con = duckdb.connect()
+    words = [t for t, _ in vocab][:10]
+    for a in words:
+        for b in words:
+            (ref,) = con.execute(
+                "SELECT levenshtein(?, ?)", [a, b]).fetchone()
+            got = levenshtein_within(a, b, 2)
+            assert got == (ref if ref <= 2 else None), (a, b)
+
+
+def test_expand_fuzzy_cap_and_order(spark, indexed, vocab):
+    from liresolr_spark.operators.multiterm import expand_fuzzy
+
+    # probes derived from the vocabulary: the term itself (ed 0 included),
+    # a one-edit corruption, and a two-edit corruption
+    t = vocab[0][0]
+    probes = [(t, 1), (t[:-1] + "9", 1), ("x" + t[1:-1] + "9", 2)]
+    for probe, k in probes:
+        for cap in (2, 100):
+            got = expand_fuzzy(spark, indexed, probe, max_edits=k,
+                               max_expansions=cap)
+            assert got == _fuzzy_want(vocab, probe, k, cap), (probe, k, cap)
+
+
+def test_expand_fuzzy_pinned_map_matches_cluster(spark, indexed, vocab):
+    """Pinned-map path (banded DP) vs Spark path (levenshtein threshold
+    pushdown): identical expansion — three Levenshtein implementations
+    (banded DP, Spark SQL, DuckDB) must agree."""
+    from liresolr_spark.operators.multiterm import expand_fuzzy
+
+    dmap = {"text": {t: df for t, df in vocab}}
+    t = vocab[0][0]
+    for probe, k in [(t, 2), (t[:-1] + "9", 1), ("zzqq", 2)]:
+        assert expand_fuzzy(spark, indexed, probe, max_edits=k,
+                            max_expansions=4, dictionary_map=dmap) \
+            == expand_fuzzy(spark, indexed, probe, max_edits=k,
+                            max_expansions=4), (probe, k)
+
+
+def test_expand_fuzzy_prefix_length(spark, indexed, vocab):
+    from liresolr_spark.operators.multiterm import expand_fuzzy
+
+    t = vocab[0][0]
+    probe = t[:-1] + "9"
+    dmap = {"text": {t: df for t, df in vocab}}
+    for pl in (1, 2):
+        want = _fuzzy_want(vocab, probe, 2, 100, pre=probe[:pl])
+        assert expand_fuzzy(spark, indexed, probe, max_edits=2,
+                            prefix_length=pl, max_expansions=100) == want
+        assert expand_fuzzy(spark, indexed, probe, max_edits=2,
+                            prefix_length=pl, max_expansions=100,
+                            dictionary_map=dmap) == want
+
+
+def test_expand_fuzzy_guards(spark, indexed):
+    from liresolr_spark.operators.multiterm import expand_fuzzy
+
+    for bad in ["", "Re", "a*", "a b"]:
+        with pytest.raises(ValueError):
+            expand_fuzzy(spark, indexed, bad)
+    with pytest.raises(ValueError):
+        expand_fuzzy(spark, indexed, "part", max_edits=3)
+    # ed 0 degrades to the single-term query without touching the dictionary
+    assert expand_fuzzy(spark, indexed, "zzqq", max_edits=0) == ["zzqq"]
+
+
+def test_engine_fuzzy_search(spark, indexed, vocab):
+    from liresolr_spark.api import LireQueryEngine
+    from liresolr_spark.operators.multiterm import expand_fuzzy
+
+    eng = LireQueryEngine(spark, indexed)
+    t = vocab[0][0]
+    probe = t[:-1] + "9"
+    terms = expand_fuzzy(spark, indexed, probe, max_edits=1,
+                         max_expansions=3)
+    assert terms, "one-edit corruption of a vocabulary term must match"
+    out = eng.fuzzy_search(probe, max_edits=1, rows=10,
+                           max_expansions=3).collect()
+    want = wand_topk(spark, indexed, terms, k=10).collect()
+    assert [r["docID"] for r in out] == [r["docID"] for r in want]
+    # empty expansion -> empty projected frame + metrics, not an error
+    empty = eng.fuzzy_search("zzqq99", max_edits=1, rows=5)
+    assert empty.count() == 0
+    assert eng.last_metrics.get("term") == "zzqq99"
+    assert eng.last_metrics.get("n_terms") == 0
+
+
 def test_phrase_search_many_verify_fallback(spark, indexed, corpus200,
                                             bigrams):
     """Batched phrase serving on a POSITIONLESS index: raises a steering
