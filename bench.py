@@ -303,7 +303,8 @@ def main() -> None:
         with open(scaling_path) as f:
             sc = json.load(f)
         summary = {}
-        for tag, key in (("", "headline_pair"), ("2", "secondary_pair")):
+        for tag, key in (("", "headline_pair"), ("2", "secondary_pair"),
+                         ("3", "sf1_pair")):
             pair = sc.get(key)
             if pair:
                 summary[f"pair{tag}"] = f"local[{pair['N']}]->local[{pair['4N']}]"

@@ -1,6 +1,7 @@
 """Compose SCALING.json from the per-pair runs (SCALING_2_8.json headline,
-SCALING_8_32.json secondary) plus the criterion text and interpretation
-notes. Run after tools/scaling_run.py has written both pair files:
+SCALING_8_32.json secondary, SCALING_SF1.json large-corpus 8->32) plus the
+criterion text and interpretation notes. Run after tools/scaling_run.py
+has written the pair files:
 
   python tools/compose_scaling.py
 """
@@ -27,6 +28,7 @@ def load(name):
 def main() -> None:
     head = load("SCALING_2_8.json")
     sec = load("SCALING_8_32.json")
+    sf1 = load("SCALING_SF1.json")
     out = {
         "criterion": (
             "indexing-throughput scaling efficiency >= 0.8 from N to 4N "
@@ -34,6 +36,7 @@ def main() -> None:
             "input, local[N] vs local[4N], best-of-N fresh-JVM runs"),
         "headline_pair": head,
         "secondary_pair": sec,
+        "sf1_pair": sf1,
         "notes": [],
     }
     if head:
@@ -57,6 +60,15 @@ def main() -> None:
             "share one socket's memory bandwidth, a confound a multi-node "
             "cluster does not have (each executor node brings its own "
             "bandwidth)")
+    if sf1:
+        gbs = [lv.get("build_gb_per_sec") for lv in sf1["levels"]]
+        out["notes"].append(
+            f"sf1 ({sf1['N']}->{sf1['4N']} cores, {sf1['rows']} docs): "
+            f"build speedup {sf1['build_speedup']}x, efficiency "
+            f"{sf1['build_scaling_efficiency']}; build bytes moved per sec "
+            f"{gbs[0]} -> {gbs[1]} GB/s (event-log task metrics: if the "
+            "byte rate plateaus while cores quadruple, the wall is the "
+            "single socket's memory/IO bandwidth, not the plan)")
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["notes"], indent=1))
