@@ -587,6 +587,26 @@ def test_levenshtein_within_matches_duckdb(vocab):
             assert got == (ref if ref <= 2 else None), (a, b)
 
 
+def test_levenshtein_within_property():
+    """Property: the banded kernel equals the full DP truncated at k, for
+    arbitrary token-alphabet strings (covers band-edge and early-exit
+    paths the vocabulary pairs may miss)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from liresolr_spark.operators.multiterm import levenshtein_within
+
+    tok = st.text(alphabet="ab9", max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=tok, b=tok, k=st.integers(min_value=0, max_value=2))
+    def check(a, b, k):
+        ref = _lev_ref(a, b)
+        assert levenshtein_within(a, b, k) == (ref if ref <= k else None)
+
+    check()
+
+
 def test_expand_fuzzy_cap_and_order(spark, indexed, vocab):
     from liresolr_spark.operators.multiterm import expand_fuzzy
 
